@@ -1,0 +1,118 @@
+"""Graph-convolution compute primitives (channels-last, MXU-shaped).
+
+Semantics match the reference's adaptive graph convolution (reference
+model/architecture/aagcn/agcn.py:92-109, aagcn.py:164-177), re-expressed as
+einsums over the TPU-native (batch, time, joint, channel) layout:
+
+  aggregate:            y[b,t,w,c] = sum_v x[b,t,v,c] * A[v,w]
+  embedding attention:  att[b,v,w] = softmax_v( sum_{t,c} th[b,t,v,c]
+                                                * ph[b,t,w,c] / (C*T) )
+
+All contraction shapes are static; V <= 25 keeps every adjacency resident
+in VMEM, and the (V*Cin, V*Cout) fused operator turns the whole K-subset
+aggregate+project+sum into a single large MXU matmul (see
+`fused_static_operator`). A Pallas fully-fused kernel for the adaptive path
+lives in agcn_tpu/ops/pallas/.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def aggregate(x: jnp.ndarray, adj: jnp.ndarray) -> jnp.ndarray:
+    """Graph aggregation y = x @ A over the joint axis.
+
+    Args:
+      x: (..., V, C) joint features (typically (B, T, V, C)).
+      adj: (V, V) static, (B, V, V) per-sample, or (B, T, V, V) per-frame
+        adjacency with A[source, dest] layout.
+    Returns:
+      Same shape as x, with joint axis aggregated.
+    """
+    if adj.ndim == 2:
+        return jnp.einsum("...vc,vw->...wc", x, adj)
+    if adj.ndim == 3:
+        return jnp.einsum("btvc,bvw->btwc", x, adj)
+    if adj.ndim == 4:
+        return jnp.einsum("btvc,btvw->btwc", x, adj)
+    raise ValueError(f"bad adjacency rank {adj.ndim}")
+
+
+def embedding_attention(theta: jnp.ndarray, phi: jnp.ndarray) -> jnp.ndarray:
+    """Per-sample data-dependent adjacency C = softmax(theta^T phi / d).
+
+    Contraction over (time, channel) jointly and softmax over the *source*
+    joint axis, matching reference agcn.py:99-101 (softmax dim=-2, divisor
+    inter_c * T).
+
+    Args:
+      theta, phi: (B, T, V, Ce) embedded features.
+    Returns:
+      (B, V, V) attention adjacency, columns summing to 1.
+    """
+    b, t, v, ce = theta.shape
+    logits = jnp.einsum("btvc,btwc->bvw", theta, phi) / (ce * t)
+    return jax.nn.softmax(logits, axis=-2)
+
+
+def frame_attention(g1: jnp.ndarray, g2: jnp.ndarray,
+                    activation: str = "softmax") -> jnp.ndarray:
+    """Per-frame dense attention G = act(g1 g2^T) (SGN style).
+
+    Matches reference sgn blocks/spatial.py:230-240: for each frame t,
+    G[t] = softmax_w(g1[t] @ g2[t]^T) — softmax over the *last* axis.
+
+    Args:
+      g1, g2: (B, T, V, Ce).
+    Returns:
+      (B, T, V, V) attention, G[b,t,v,w] = weight of source w for dest v.
+    """
+    logits = jnp.einsum("btvc,btwc->btvw", g1, g2)
+    if activation == "softmax":
+        return jax.nn.softmax(logits, axis=-1)
+    if activation == "sigmoid":
+        return jax.nn.sigmoid(logits)
+    if activation == "identity":
+        return logits
+    raise ValueError(f"unknown activation {activation!r}")
+
+
+def frame_aggregate(x: jnp.ndarray, g: jnp.ndarray) -> jnp.ndarray:
+    """SGN-style per-frame aggregation x2[b,t,v,:] = sum_w G[b,t,v,w] x[b,t,w,:].
+
+    Matches reference blocks/spatial.py:800-801 (g.matmul(x1) with x1 in
+    (n,t,v,c)): destination is the row index of G.
+    """
+    return jnp.einsum("btvw,btwc->btvc", g, x)
+
+
+def fused_static_operator(adj: jnp.ndarray, weights: jnp.ndarray,
+                          ) -> jnp.ndarray:
+    """Fold K-subset aggregation + per-subset 1x1 projections into one matmul.
+
+    z = sum_k (x @ A_k) @ W_k  ==  x_flat @ M,
+    M[(v,ci),(w,co)] = sum_k A_k[v,w] * W_k[ci,co]
+
+    Args:
+      adj: (K, V, V).
+      weights: (K, Cin, Cout).
+    Returns:
+      (V*Cin, V*Cout) dense operator — a single large MXU matmul replaces
+      K tiny V-by-V aggregations plus K projections.
+    """
+    k, v, _ = adj.shape
+    _, ci, co = weights.shape
+    m = jnp.einsum("kvw,kio->viwo", adj, weights)
+    return m.reshape(v * ci, v * co)
+
+
+def apply_fused_static(x: jnp.ndarray, operator: jnp.ndarray,
+                       num_joints: int) -> jnp.ndarray:
+    """Apply a fused (V*Cin, V*Cout) operator to (..., V, Cin) features."""
+    *lead, v, ci = x.shape
+    y = x.reshape(*lead, v * ci) @ operator
+    return y.reshape(*lead, num_joints, -1)

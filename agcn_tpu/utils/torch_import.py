@@ -1,0 +1,126 @@
+"""PyTorch checkpoint import: map reference state_dicts onto flax pytrees.
+
+Used for (a) parity tests against the reference implementation and (b)
+migrating users' existing 2s-AGCN checkpoints onto this framework. Only
+array-layout conversion happens here — no torch code is required at
+runtime; inputs are plain numpy arrays keyed by torch parameter names
+(reference checkpoint format described in utils/processor.py:225-270).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, Mapping, Tuple
+
+import numpy as np
+
+
+def conv_kernel(w: np.ndarray) -> np.ndarray:
+    """torch conv (out, in, kh, kw) -> flax (kh, kw, in, out)."""
+    return np.transpose(w, (2, 3, 1, 0))
+
+
+def pointwise_kernel(w: np.ndarray) -> np.ndarray:
+    """torch 1x1 conv (out, in, 1, 1) -> dense (in, out)."""
+    return w[:, :, 0, 0].T
+
+
+def conv1d_kernel(w: np.ndarray) -> np.ndarray:
+    """torch conv1d (out, in, k) -> flax (k, in, out)."""
+    return np.transpose(w, (2, 1, 0))
+
+
+def linear_kernel(w: np.ndarray) -> np.ndarray:
+    """torch linear (out, in) -> dense (in, out)."""
+    return w.T
+
+
+def _set(tree: Dict, path: Tuple[str, ...], value: np.ndarray) -> None:
+    node = tree
+    for p in path[:-1]:
+        node = node.setdefault(p, {})
+    node[path[-1]] = np.asarray(value, dtype=np.float32)
+
+
+def _strip_module_prefix(sd: Mapping[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Drop DDP's 'module.' prefix (reference processor.py:242-249)."""
+    return {re.sub(r"^module\.", "", k): v for k, v in sd.items()}
+
+
+def state_dict_to_numpy(sd: Mapping[str, Any]) -> Dict[str, np.ndarray]:
+    """Convert a torch state_dict (tensors or arrays) to plain numpy."""
+    out = {}
+    for k, v in sd.items():
+        if hasattr(v, "detach"):
+            v = v.detach().cpu().numpy()
+        out[k] = np.asarray(v)
+    return _strip_module_prefix(out)
+
+
+def _bn(tree: Dict, params_path: Tuple[str, ...], stats_path: Tuple[str, ...],
+        sd: Mapping[str, np.ndarray], prefix: str) -> None:
+    _set(tree["params"], params_path + ("scale",), sd[f"{prefix}.weight"])
+    _set(tree["params"], params_path + ("bias",), sd[f"{prefix}.bias"])
+    _set(tree["batch_stats"], stats_path + ("mean",),
+         sd[f"{prefix}.running_mean"])
+    _set(tree["batch_stats"], stats_path + ("var",),
+         sd[f"{prefix}.running_var"])
+
+
+def agcn_variables_from_torch(sd: Mapping[str, Any],
+                              num_subset: int = 3) -> Dict[str, Dict]:
+    """Map the reference AGCN state_dict (agcn.py Model) onto our AGCN."""
+    sd = state_dict_to_numpy(sd)
+    tree: Dict[str, Dict] = {"params": {}, "batch_stats": {}}
+
+    _bn(tree, ("data_bn",), ("data_bn",), sd, "data_bn")
+    _set(tree["params"], ("fc", "kernel"), linear_kernel(sd["fc.weight"]))
+    _set(tree["params"], ("fc", "bias"), sd["fc.bias"])
+
+    for key in sd:
+        m = re.match(r"^(l\d+)\.", key)
+        if not m:
+            continue
+        block = m.group(1)
+        gcn = (block, "gcn1")
+        if key == f"{block}.gcn1.PA":
+            _set(tree["params"], gcn + ("PA",), sd[key])
+        for k in range(num_subset):
+            for role in ("a", "b", "d"):
+                t_prefix = f"{block}.gcn1.conv_{role}.{k}"
+                if key == f"{t_prefix}.weight":
+                    _set(tree["params"],
+                         gcn + (f"conv_{role}{k}", "conv", "kernel"),
+                         pointwise_kernel(sd[key]))
+                elif key == f"{t_prefix}.bias":
+                    _set(tree["params"],
+                         gcn + (f"conv_{role}{k}", "conv", "bias"), sd[key])
+
+    for block in {k.split(".")[0] for k in sd if k.startswith("l")}:
+        if f"{block}.gcn1.bn.weight" in sd:
+            _bn(tree, (block, "gcn1", "bn"), (block, "gcn1", "bn"), sd,
+                f"{block}.gcn1.bn")
+        if f"{block}.gcn1.down.0.weight" in sd:
+            _set(tree["params"],
+                 (block, "gcn1", "down_conv", "conv", "kernel"),
+                 pointwise_kernel(sd[f"{block}.gcn1.down.0.weight"]))
+            _set(tree["params"], (block, "gcn1", "down_conv", "conv", "bias"),
+                 sd[f"{block}.gcn1.down.0.bias"])
+            _bn(tree, (block, "gcn1", "down_bn"), (block, "gcn1", "down_bn"),
+                sd, f"{block}.gcn1.down.1")
+        if f"{block}.tcn1.conv.weight" in sd:
+            _set(tree["params"], (block, "tcn1", "conv", "conv", "kernel"),
+                 conv_kernel(sd[f"{block}.tcn1.conv.weight"]))
+            _set(tree["params"], (block, "tcn1", "conv", "conv", "bias"),
+                 sd[f"{block}.tcn1.conv.bias"])
+            _bn(tree, (block, "tcn1", "bn"), (block, "tcn1", "bn"), sd,
+                f"{block}.tcn1.bn")
+        if f"{block}.residual.conv.weight" in sd:
+            _set(tree["params"], (block, "residual", "conv", "conv", "kernel"),
+                 conv_kernel(sd[f"{block}.residual.conv.weight"]))
+            _set(tree["params"], (block, "residual", "conv", "conv", "bias"),
+                 sd[f"{block}.residual.conv.bias"])
+            _bn(tree, (block, "residual", "bn"), (block, "residual", "bn"),
+                sd, f"{block}.residual.bn")
+
+    return tree
