@@ -67,6 +67,92 @@ def _bn(tree: Dict, params_path: Tuple[str, ...], stats_path: Tuple[str, ...],
          sd[f"{prefix}.running_var"])
 
 
+def aagcn_variables_from_torch(sd: Mapping[str, Any],
+                               num_subset: int = 3,
+                               adaptive: bool = True,
+                               data_norm: str = "bn") -> Dict[str, Dict]:
+    """Map the reference AAGCN state_dict (aagcn.py Model) onto our AAGCN."""
+    sd = state_dict_to_numpy(sd)
+    tree: Dict[str, Dict] = {"params": {}, "batch_stats": {}}
+
+    if data_norm == "bn":
+        _bn(tree, ("data_bn",), ("data_bn",), sd, "data_bn")
+    else:
+        _set(tree["params"], ("data_bn", "scale"), sd["data_bn.weight"])
+        _set(tree["params"], ("data_bn", "bias"), sd["data_bn.bias"])
+    _set(tree["params"], ("fc", "kernel"), linear_kernel(sd["fc.weight"]))
+    _set(tree["params"], ("fc", "bias"), sd["fc.bias"])
+
+    blocks = sorted({k.split(".")[0] for k in sd if re.match(r"^l\d+\.", k)})
+    for block in blocks:
+        g = (block, "gcn1")
+        p = f"{block}.gcn1"
+        # graph conv ----------------------------------------------------
+        for k in range(num_subset):
+            if adaptive:
+                _set(tree["params"], g + ("agcn", f"conv_d{k}", "conv",
+                                          "kernel"),
+                     pointwise_kernel(sd[f"{p}.conv_d.{k}.weight"]))
+                _set(tree["params"], g + ("agcn", f"conv_d{k}", "conv",
+                                          "bias"),
+                     sd[f"{p}.conv_d.{k}.bias"])
+                for role in ("a", "b"):
+                    _set(tree["params"],
+                         g + ("agcn", f"conv_{role}{k}", "conv", "kernel"),
+                         pointwise_kernel(sd[f"{p}.agcn.conv_{role}.{k}.weight"]))
+                    _set(tree["params"],
+                         g + ("agcn", f"conv_{role}{k}", "conv", "bias"),
+                         sd[f"{p}.agcn.conv_{role}.{k}.bias"])
+            else:
+                _set(tree["params"], g + ("agcn", f"conv_d{k}_kernel"),
+                     pointwise_kernel(sd[f"{p}.conv_d.{k}.weight"]))
+                _set(tree["params"], g + ("agcn", f"conv_d{k}_bias"),
+                     sd[f"{p}.conv_d.{k}.bias"])
+        if adaptive:
+            _set(tree["params"], g + ("agcn", "PA"), sd[f"{p}.agcn.PA"])
+            _set(tree["params"], g + ("agcn", "alpha"),
+                 sd[f"{p}.agcn.alpha"])
+        # attention ------------------------------------------------------
+        if f"{p}.attn_s.conv_sa.weight" in sd:
+            _set(tree["params"], g + ("attn_s", "conv_sa", "kernel"),
+                 conv1d_kernel(sd[f"{p}.attn_s.conv_sa.weight"]))
+            _set(tree["params"], g + ("attn_s", "conv_sa", "bias"),
+                 sd[f"{p}.attn_s.conv_sa.bias"])
+            _set(tree["params"], g + ("attn_t", "conv_ta", "kernel"),
+                 conv1d_kernel(sd[f"{p}.attn_t.conv_ta.weight"]))
+            _set(tree["params"], g + ("attn_t", "conv_ta", "bias"),
+                 sd[f"{p}.attn_t.conv_ta.bias"])
+            for fc in ("fc1c", "fc2c"):
+                _set(tree["params"], g + ("attn_c", fc, "kernel"),
+                     linear_kernel(sd[f"{p}.attn_c.{fc}.weight"]))
+                _set(tree["params"], g + ("attn_c", fc, "bias"),
+                     sd[f"{p}.attn_c.{fc}.bias"])
+        # norm / residual / tcn -----------------------------------------
+        _bn(tree, g + ("bn",), g + ("bn",), sd, f"{p}.bn")
+        if f"{p}.down.0.weight" in sd:
+            _set(tree["params"], g + ("down_conv", "conv", "kernel"),
+                 pointwise_kernel(sd[f"{p}.down.0.weight"]))
+            _set(tree["params"], g + ("down_conv", "conv", "bias"),
+                 sd[f"{p}.down.0.bias"])
+            _bn(tree, g + ("down_bn",), g + ("down_bn",), sd, f"{p}.down.1")
+        _set(tree["params"], (block, "tcn1", "conv", "conv", "kernel"),
+             conv_kernel(sd[f"{block}.tcn1.conv.weight"]))
+        _set(tree["params"], (block, "tcn1", "conv", "conv", "bias"),
+             sd[f"{block}.tcn1.conv.bias"])
+        _bn(tree, (block, "tcn1", "bn"), (block, "tcn1", "bn"), sd,
+            f"{block}.tcn1.bn")
+        if f"{block}.residual.conv.weight" in sd:
+            _set(tree["params"], (block, "residual", "conv", "conv",
+                                  "kernel"),
+                 conv_kernel(sd[f"{block}.residual.conv.weight"]))
+            _set(tree["params"], (block, "residual", "conv", "conv", "bias"),
+                 sd[f"{block}.residual.conv.bias"])
+            _bn(tree, (block, "residual", "bn"), (block, "residual", "bn"),
+                sd, f"{block}.residual.bn")
+
+    return tree
+
+
 def agcn_variables_from_torch(sd: Mapping[str, Any],
                               num_subset: int = 3) -> Dict[str, Dict]:
     """Map the reference AGCN state_dict (agcn.py Model) onto our AGCN."""
