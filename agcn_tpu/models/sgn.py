@@ -1,0 +1,551 @@
+"""SGN — Semantics-Guided Network, TPU-native (v14-style configurable).
+
+Functional parity target: reference model/architecture/sgn/sgn_v14.py and
+model/architecture/sgn/blocks/{feature_extractor,semantic,spatial,
+temporal}.py. The shipped recipe (config/nturgbd-cross-view/
+train_sgn_v14.yaml) plus the common option axes are supported:
+
+- input embeddings: position/velocity MLPs (modes 1-4, 11, 12) with input
+  BatchNorm (blocks/feature_extractor.py:75-103, blocks/semantic.py:34-125)
+- semantic one-hot joint/frame/class embeddings with concat/sum fusion and
+  pre/post-GCN frame-embedding location (blocks/semantic.py:128-190,
+  sgn_v14.py:855-933)
+- spatial GCN stack with data-dependent per-frame attention G (gt_mode 0,
+  blocks/spatial.py:193-240) or the GT temporal-mixing variant (gt_mode 1,
+  blocks/spatial.py:243-322), shared or per-layer G, optional prenorm,
+  per-layer residuals and FFN (blocks/spatial.py:846-1013)
+- multi-kernel temporal conv branches per GCN level with inter-level
+  sharing (sgn_v14.py:583-658, blocks/temporal.py:99-160,274-397)
+- spatial/temporal max pooling modes 0/1 and the classifier head
+  (sgn_v14.py:663-786)
+
+Layout is channels-last (B, T, V, C): all 1x1 convs are MXU matmuls, the
+per-frame V x V attention is a small batched einsum fully resident in
+VMEM, and the one-hot semantic embeddings are computed once as (V, C) /
+(T, C) tables and broadcast — the reference materializes (N, V, V, T)
+one-hot tensors per batch; here they are constants folded by XLA.
+"""
+
+from __future__ import annotations
+
+from typing import Any, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from agcn_tpu.ops import BatchNorm
+from agcn_tpu.ops import initializers as init
+from agcn_tpu.ops.gcn import frame_aggregate
+
+# channel constants c1..c4 (reference model/resource/common_ntu.py:1-6)
+C1, C2, C3, C4 = 64, 128, 256, 512
+
+EMB_MODES = {
+    # mode: (num_layers, kernel_sizes, residual)
+    1: (2, (1, 1), 0),
+    2: (2, (1, 1), 1),
+    3: (3, (1, 1, 1), 0),
+    4: (4, (1, 1, 1, 1), 0),
+    11: (2, (1, 3), 0),
+    12: (2, (3, 3), 0),
+}
+
+
+def _dropout2d(x, rate, train, module, name):
+    """Torch Dropout2d semantics: drop whole channels, per (batch, C)."""
+    if rate <= 0.0:
+        return x
+    return module(nn.Dropout(rate, broadcast_dims=tuple(range(1, x.ndim - 1)),
+                             deterministic=not train, name=name))(x)
+
+
+class TConv(nn.Module):
+    """1xk conv along T of a (B, T, V, C) tensor (reference Conv1xN,
+    model/layers/module/block.py:154-189). k=1 lowers to a Dense matmul."""
+
+    features: int
+    kernel_size: int = 1
+    padding: int = 0
+    use_bias: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        if self.kernel_size == 1:
+            return nn.Dense(self.features, use_bias=self.use_bias,
+                            kernel_init=init.kaiming_normal_fan_out,
+                            bias_init=nn.initializers.zeros
+                            if not self.use_bias else
+                            init.torch_default_bias(x.shape[-1]),
+                            name="conv")(x)
+        return nn.Conv(self.features, kernel_size=(self.kernel_size, 1),
+                       padding=((self.padding, self.padding), (0, 0)),
+                       use_bias=self.use_bias,
+                       kernel_init=init.kaiming_normal_fan_out,
+                       bias_init=init.torch_default_bias(
+                           x.shape[-1] * self.kernel_size)
+                       if self.use_bias else nn.initializers.zeros,
+                       name="conv")(x)
+
+
+class ConvNormAct(nn.Module):
+    """conv -> [norm] -> [act] -> [dropout] block (reference Conv,
+    block.py:192-227; prenorm moves norm first)."""
+
+    features: int
+    kernel_size: int = 1
+    padding: int = 0
+    use_bias: bool = False
+    use_norm: bool = False
+    use_act: bool = True
+    dropout: float = 0.0
+    prenorm: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        if self.use_norm and self.prenorm:
+            x = BatchNorm(name="norm")(x, train)
+        x = TConv(self.features, self.kernel_size, self.padding,
+                  self.use_bias, name="cnn")(x)
+        if self.use_norm and not self.prenorm:
+            x = BatchNorm(name="norm")(x, train)
+        if self.use_act:
+            x = nn.relu(x)
+        if self.dropout > 0.0:
+            x = nn.Dropout(self.dropout, broadcast_dims=(1, 2),
+                           deterministic=not train, name="drop")(x)
+        return x
+
+
+class SGNEmbedding(nn.Module):
+    """Input/semantic embedding MLP (reference blocks/semantic.py:34-125)."""
+
+    out_channels: int
+    mode: int = 1
+    use_bias: bool = True
+    in_norm: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        if self.in_norm:
+            # DataNorm: BN1d over (C*V) features, stats over (B, T)
+            # (blocks/semantic.py:21-31); torch feature order is (c, v).
+            b, t, v, c = x.shape
+            y = jnp.transpose(x, (0, 1, 3, 2)).reshape(b, t, c * v)
+            y = BatchNorm(name="in_norm")(y, train)
+            x = jnp.transpose(y.reshape(b, t, c, v), (0, 1, 3, 2))
+        num_layers, kernels, residual = EMB_MODES[self.mode]
+        for i in range(num_layers):
+            k = kernels[i]
+            y = ConvNormAct(self.out_channels, kernel_size=k, padding=k // 2,
+                            use_bias=self.use_bias,
+                            name=f"cnn{i + 1}")(x, train)
+            if residual == 1:
+                if x.shape[-1] == self.out_channels:
+                    y = y + x
+                else:
+                    y = y + nn.Dense(self.out_channels, use_bias=self.use_bias,
+                                     kernel_init=init.torch_default_kernel,
+                                     name=f"res{i + 1}")(x)
+            x = y
+        return x
+
+
+class GCNSpatialG(nn.Module):
+    """Per-frame attention G = softmax(g1 g2^T) (blocks/spatial.py:193-240,
+    gt_mode 0)."""
+
+    proj_dim: int
+    use_bias: bool = True
+    proj_shared: bool = False
+    activation: str = "softmax"
+
+    @nn.compact
+    def __call__(self, x, g_prior=None):
+        g1 = TConv(self.proj_dim, use_bias=self.use_bias, name="g1")(x)
+        if self.proj_shared:
+            g2 = g1
+        else:
+            g2 = TConv(self.proj_dim, use_bias=self.use_bias, name="g2")(x)
+        logits = jnp.einsum("btvc,btwc->btvw", g1, g2)
+        if self.activation == "softmax":
+            g = jax.nn.softmax(logits, axis=-1)
+        elif self.activation == "sigmoid":
+            g = jax.nn.sigmoid(logits)
+        else:
+            g = logits
+        if g_prior is not None:
+            alpha = self.param("alpha", nn.initializers.zeros, (1,))
+            g = (g_prior * alpha + g) / (alpha + 1)
+        else:
+            # parameter exists in the reference regardless of use
+            self.param("alpha", nn.initializers.zeros, (1,))
+        return g, None
+
+
+class GCNSpatialGT(nn.Module):
+    """G mixed through a T x T temporal attention (blocks/spatial.py:243-322,
+    gt_mode 1)."""
+
+    proj_dim: int
+    use_bias: bool = True
+    proj_shared: bool = False
+    activation: str = "softmax"
+    gt_activation: int = 1  # 1: softmax, 2: sigmoid
+
+    @nn.compact
+    def __call__(self, x, g_prior=None):
+        g1 = TConv(self.proj_dim, use_bias=self.use_bias, name="g1")(x)
+        g3 = TConv(self.proj_dim, use_bias=self.use_bias, name="g3")(x)
+        if self.proj_shared:
+            g2, g4 = g1, g3
+        else:
+            g2 = TConv(self.proj_dim, use_bias=self.use_bias, name="g2")(x)
+            g4 = TConv(self.proj_dim, use_bias=self.use_bias, name="g4")(x)
+        b, t, v, _ = x.shape
+        g12 = jnp.einsum("btvc,btwc->btvw", g1, g2)  # (B,T,V,V)
+        # max over joints -> frame descriptors (reference g3p/g4p pooling)
+        g3p = jnp.max(g3, axis=2)  # (B,T,C)
+        g4p = jnp.max(g4, axis=2)
+        g34 = jax.nn.softmax(jnp.einsum("bic,bjc->bij", g3p, g4p), axis=-1)
+        g12 = jnp.einsum("bij,bjvw->bivw", g34, g12)
+        if self.gt_activation == 1:
+            g12 = jax.nn.softmax(g12, axis=-1)
+        else:
+            g12 = jax.nn.sigmoid(g12)
+        if g_prior is not None:
+            alpha = self.param("alpha", nn.initializers.zeros, (1,))
+            g12 = (g_prior * alpha + g12) / (alpha + 1)
+        else:
+            self.param("alpha", nn.initializers.zeros, (1,))
+        return g12, g34
+
+
+class GCNSpatialUnit(nn.Module):
+    """One SGN graph conv: x -> norm(w1(G @ x) + res_alpha * w2(x)) -> relu
+    -> dropout (blocks/spatial.py:702-843, attn_mode 0). w1 is zero-init
+    per the reference's init_weight (sgn_v14.py:817-827)."""
+
+    out_channels: int
+    use_bias: bool = True
+    dropout: float = 0.0
+    prenorm: bool = False
+    res_alpha: float = 1.0
+
+    @nn.compact
+    def __call__(self, x, g, train: bool = False):
+        x2 = frame_aggregate(x, g)  # (B,T,V,C): dest = row of G
+        x4 = nn.Dense(self.out_channels, use_bias=self.use_bias,
+                      kernel_init=nn.initializers.zeros,
+                      bias_init=init.torch_default_bias(x.shape[-1]),
+                      name="w1")(x2)
+        x5 = TConv(self.out_channels, use_bias=self.use_bias,
+                   name="w2")(x) * self.res_alpha
+        x6 = x4 + x5
+        if not self.prenorm:
+            x6 = BatchNorm(name="norm")(x6, train)
+        x6 = nn.relu(x6)
+        if self.dropout > 0.0:
+            x6 = nn.Dropout(self.dropout, broadcast_dims=(1, 2),
+                            deterministic=not train, name="drop")(x6)
+        return x6
+
+
+class GCNSpatialFFN(nn.Module):
+    """Conv FFN with residual (blocks/spatial.py:36-75)."""
+
+    out_channels: int
+    multiplier: float = 4.0
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        inter = int(x.shape[-1] * self.multiplier)
+        y = ConvNormAct(inter, use_bias=self.use_bias, use_norm=True,
+                        name="ffn1")(x, train)
+        y = ConvNormAct(self.out_channels, use_bias=self.use_bias,
+                        use_norm=True, name="ffn2")(y, train)
+        return y + x
+
+
+class GCNSpatialBlock(nn.Module):
+    """Stack of GCN units with shared-or-per-layer G
+    (blocks/spatial.py:846-1013)."""
+
+    dims: Sequence[int]           # per-unit output dims, e.g. (128, 256, 256)
+    g_proj_dim: Any = 256         # int => shared G; list => per-layer G
+    g_proj_shared: bool = False
+    g_activation: str = "softmax"
+    g_weighted: bool = False
+    gt_mode: int = 0
+    gt_act: int = 1
+    res_alpha: float = 1.0
+    residual: Sequence[int] = (0, 0, 0)
+    prenorm: bool = False
+    ffn: Optional[float] = None
+    dropout: float = 0.0
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        g_cls = GCNSpatialGT if self.gt_mode == 1 else GCNSpatialG
+        g_shared = isinstance(self.g_proj_dim, int)
+        g_list: List[Any] = []
+        x_list: List[jnp.ndarray] = []
+        for i, dim in enumerate(self.dims):
+            x1 = x
+            if self.prenorm:
+                x1 = BatchNorm(name=f"prenorm{i + 1}")(x1, train)
+            if i == 0 or not g_shared:
+                proj = (self.g_proj_dim if g_shared
+                        else self.g_proj_dim[i])
+                g_prior = g_list[-1][0] if (self.g_weighted and g_list) \
+                    else None
+                g_list.append(
+                    g_cls(proj, use_bias=self.use_bias,
+                          proj_shared=self.g_proj_shared,
+                          activation=self.g_activation,
+                          gt_activation=self.gt_act,
+                          name=f"g{i + 1}")(x1, g_prior)
+                    if self.gt_mode == 1 else
+                    g_cls(proj, use_bias=self.use_bias,
+                          proj_shared=self.g_proj_shared,
+                          activation=self.g_activation,
+                          name=f"g{i + 1}")(x1, g_prior))
+            z = GCNSpatialUnit(dim, use_bias=self.use_bias,
+                               dropout=self.dropout, prenorm=self.prenorm,
+                               res_alpha=self.res_alpha,
+                               name=f"gcn{i + 1}")(x1, g_list[-1][0], train)
+            if self.residual[i] == 1:
+                if x.shape[-1] == dim:
+                    z = z + x
+                else:
+                    z = z + TConv(dim, use_bias=self.use_bias,
+                                  name=f"res{i + 1}")(x)
+            x = z
+            if self.ffn is not None:
+                x = GCNSpatialFFN(dim, multiplier=self.ffn,
+                                  use_bias=self.use_bias,
+                                  name=f"ffn{i + 1}")(x, train)
+            x_list.append(x)
+        return x, g_list, x_list
+
+
+class TemporalBranchMLP(nn.Module):
+    """Two-layer temporal conv MLP (blocks/temporal.py:99-160 via
+    TemporalBranch t_mode 1/2, :274-397)."""
+
+    out_channels: int
+    kernel_size: int = 3
+    t_mode: int = 1  # 1: plain, 2: +residual per layer
+    dropout: float = 0.0
+    prenorm: bool = False
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        in_c = x.shape[-1]
+        resid = 1 if self.t_mode == 2 else 0
+        y = ConvNormAct(in_c, kernel_size=self.kernel_size,
+                        padding=self.kernel_size // 2,
+                        use_bias=self.use_bias, use_norm=True,
+                        dropout=self.dropout, prenorm=self.prenorm,
+                        name="cnn1")(x, train)
+        if resid:
+            y = y + x
+        z = ConvNormAct(self.out_channels, use_bias=self.use_bias,
+                        use_norm=True, prenorm=self.prenorm,
+                        name="cnn2")(y, train)
+        if resid:
+            if y.shape[-1] == self.out_channels:
+                z = z + y
+            else:
+                z = z + TConv(self.out_channels, use_bias=self.use_bias,
+                              name="res2")(y)
+        return z
+
+
+class SGN(nn.Module):
+    """Full SGN classifier.
+
+    Input: (B, T, M*V*C) segment tensors (the SGN data contract,
+    sgn_v14.py:829-846); persons are flattened into T by the loader.
+    Output: (logits, aux) with aux = {"g": attention list}.
+    """
+
+    num_class: int = 60
+    num_point: int = 25
+    num_segment: int = 20
+    in_channels: int = 3
+    use_bias: bool = True
+    dropout: float = 0.0      # classifier
+    dropout2d: float = 0.0    # everywhere else
+    c_multiplier: Sequence[float] = (1.0, 1.0, 1.0, 1.0)
+
+    input_position: int = 1
+    input_velocity: int = 1
+    semantic_joint: int = 1
+    semantic_frame: int = 1
+    semantic_class: int = 0
+    semantic_joint_fusion: int = 0   # 0 concat, 1 sum
+    semantic_frame_location: int = 0  # 0 post-GCN, 1 pre-GCN
+
+    sgcn_dims: Optional[Sequence[int]] = None  # default (c2, c3, c3)
+    sgcn_residual: Sequence[int] = (0, 0, 0)
+    sgcn_prenorm: bool = False
+    sgcn_ffn: Optional[float] = None
+    sgcn_dropout: float = 0.0
+    sgcn_g_proj_dim: Optional[Any] = None  # default c3
+    sgcn_g_proj_shared: bool = False
+    sgcn_g_activation: str = "softmax"
+    sgcn_g_weighted: bool = False
+    sgcn_g_res_alpha: float = 1.0
+    sgcn_gt_mode: int = 1
+    sgcn_gt_act: int = 1
+
+    spatial_maxpool: int = 1
+    temporal_maxpool: int = 1
+    multi_t: Sequence[Sequence[int]] = ((), (), (3,))
+    multi_t_shared: int = 0  # 0 none, 2 inter-layer share
+    t_mode: int = 1
+
+    @property
+    def channels(self):
+        m = self.c_multiplier
+        return (int(C1 * m[0]), int(C2 * m[1]), int(C3 * m[2]),
+                int(C4 * m[3]))
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False):
+        c1, c2, c3, c4 = self.channels
+        b, t, dim = x.shape
+        v = self.num_point
+        x = x.reshape(b, t, v, dim // v)
+        if x.shape[-1] > self.in_channels:
+            x = x[..., :self.in_channels]
+
+        # Dynamic representation ----------------------------------------
+        # velocity: dif padded with a leading zero frame
+        # (blocks/feature_extractor.py:75-79 + torch_utils.pad_zeros)
+        dif = x[:, 1:] - x[:, :-1]
+        dif = jnp.concatenate([jnp.zeros_like(x[:, :1]), dif], axis=1)
+        pos = vel = None
+        if self.input_position > 0:
+            pos = SGNEmbedding(c1, mode=self.input_position,
+                               use_bias=self.use_bias, in_norm=True,
+                               name="pos_embed")(x, train)
+        if self.input_velocity > 0:
+            vel = SGNEmbedding(c1, mode=self.input_velocity,
+                               use_bias=self.use_bias, in_norm=True,
+                               name="vel_embed")(dif, train)
+        if pos is not None and vel is not None:
+            feat = pos + vel
+        else:
+            feat = pos if pos is not None else vel
+
+        # Semantic embeddings -------------------------------------------
+        # one-hot tables embedded once, broadcast over batch/time
+        # (blocks/semantic.py:128-190) — constants folded by XLA.
+        if self.semantic_joint > 0:
+            joint_tab = jnp.eye(v)[None, None]  # (1,1,V,V)
+            spa = SGNEmbedding(c1, mode=self.semantic_joint,
+                               use_bias=self.use_bias,
+                               name="joint_embed")(
+                jnp.broadcast_to(joint_tab, (1, t, v, v)), train)
+            spa = jnp.broadcast_to(spa, (b, t, v, c1))
+            if self.semantic_joint_fusion == 0:
+                feat = jnp.concatenate([feat, spa], axis=-1)
+            else:
+                feat = feat + spa
+
+        gcn_in_ch = feat.shape[-1]
+        sgcn_dims = tuple(self.sgcn_dims or (c2, c3, c3))
+        tem_out_ch = (gcn_in_ch if self.semantic_frame_location == 1
+                      else sgcn_dims[-1])
+        tem_emb = None
+        if self.semantic_frame > 0:
+            frame_tab = jnp.eye(t)[None, :, None, :]  # (1,T,1,T)
+            tem_emb = SGNEmbedding(tem_out_ch, mode=self.semantic_frame,
+                                   use_bias=self.use_bias,
+                                   name="frame_embed")(
+                jnp.broadcast_to(frame_tab, (1, t, v, t)), train)
+        if tem_emb is not None and self.semantic_frame_location == 1:
+            feat = feat + tem_emb
+
+        # Spatial GCN ----------------------------------------------------
+        g_proj = self.sgcn_g_proj_dim if self.sgcn_g_proj_dim is not None \
+            else c3
+        x_out, g_list, x_list = GCNSpatialBlock(
+            dims=sgcn_dims,
+            g_proj_dim=g_proj,
+            g_proj_shared=self.sgcn_g_proj_shared,
+            g_activation=self.sgcn_g_activation,
+            g_weighted=self.sgcn_g_weighted,
+            gt_mode=self.sgcn_gt_mode,
+            gt_act=self.sgcn_gt_act,
+            res_alpha=self.sgcn_g_res_alpha,
+            residual=tuple(self.sgcn_residual),
+            prenorm=self.sgcn_prenorm,
+            ffn=self.sgcn_ffn,
+            dropout=self.sgcn_dropout,
+            use_bias=self.use_bias,
+            name="sgcn")(feat, train)
+
+        # default (no FPN): only the last level feeds the temporal module
+        feats: List[Optional[jnp.ndarray]] = [None] * (len(x_list) - 1) \
+            + [x_list[-1]]
+
+        if tem_emb is not None and self.semantic_frame_location == 0:
+            feats = [f + tem_emb if f is not None else None for f in feats]
+
+        # spatial pooling -----------------------------------------------
+        if self.spatial_maxpool == 1:
+            feats = [jnp.max(f, axis=2, keepdims=True)
+                     if f is not None else None for f in feats]
+        elif self.spatial_maxpool != 0:
+            raise NotImplementedError("spatial_maxpool mode")
+
+        # temporal branches ---------------------------------------------
+        outs = []
+        shared_names = {}
+        for i, kernels in enumerate(self.multi_t):
+            for j, k in enumerate(kernels):
+                if feats[i] is None:
+                    continue
+                name = f"tem{i + 1}_{j + 1}_k{k}"
+                if self.multi_t_shared == 2:
+                    key = (j, k)
+                    name = shared_names.setdefault(key, name)
+                branch = TemporalBranchMLP(
+                    c4, kernel_size=k, t_mode=self.t_mode,
+                    dropout=self.dropout2d, prenorm=self.sgcn_prenorm,
+                    use_bias=self.use_bias, name=name)
+                if self.t_mode == 0:
+                    outs.append(feats[i])
+                else:
+                    outs.append(branch(feats[i], train))
+        y = jnp.mean(jnp.stack(outs, 0), 0) if len(outs) > 1 else outs[0]
+
+        # temporal pooling + classifier ---------------------------------
+        if self.temporal_maxpool == 1:
+            y = jnp.max(y, axis=1, keepdims=True)
+        elif self.temporal_maxpool != 0:
+            raise NotImplementedError("temporal_maxpool mode")
+
+        if self.semantic_class > 0:
+            cls_tab = jnp.ones((1, 1, 1, 1))
+            cls_emb = SGNEmbedding(c4, mode=self.semantic_class,
+                                   use_bias=self.use_bias,
+                                   name="class_embed")(cls_tab, train)
+            y = y + cls_emb
+
+        y = y.reshape(b, -1)
+        if self.dropout > 0.0:
+            y = nn.Dropout(self.dropout, deterministic=not train,
+                           name="fc_drop")(y)
+        logits = nn.Dense(self.num_class,
+                          kernel_init=init.torch_default_kernel,
+                          bias_init=init.torch_default_bias(y.shape[-1]),
+                          name="fc")(y)
+        return logits, {"g": g_list}

@@ -153,6 +153,104 @@ def aagcn_variables_from_torch(sd: Mapping[str, Any],
     return tree
 
 
+def sgn_variables_from_torch(sd: Mapping[str, Any]) -> Dict[str, Dict]:
+    """Map the reference SGN v14 state_dict onto our SGN (default config
+    path: embedding modes 1-4/11/12, shared or per-layer G, t_mode 1/2).
+
+    Reference naming: model/architecture/sgn/sgn_v14.py +
+    blocks/{semantic,spatial,temporal}.py; Conv nesting produces keys like
+    'sgcn.gcn1.w1.block.conv.conv.weight'.
+    """
+    sd = state_dict_to_numpy(sd)
+    tree: Dict[str, Dict] = {"params": {}, "batch_stats": {}}
+
+    def conv_block(torch_prefix, flax_path, kernel_fn=None):
+        """One reference Conv block (conv [+norm]) -> ConvNormAct tree."""
+        w = sd[f"{torch_prefix}.block.conv.conv.weight"]
+        if kernel_fn is None:
+            k = w.shape[-1]
+            conv = pointwise_kernel(w) if k == 1 else np.transpose(
+                w, (3, 2, 1, 0))
+        else:
+            conv = kernel_fn(w)
+        _set(tree["params"], flax_path + ("cnn", "conv", "kernel"), conv)
+        if f"{torch_prefix}.block.conv.conv.bias" in sd:
+            _set(tree["params"], flax_path + ("cnn", "conv", "bias"),
+                 sd[f"{torch_prefix}.block.conv.conv.bias"])
+        if f"{torch_prefix}.block.norm.weight" in sd:
+            _bn(tree, flax_path + ("norm",), flax_path + ("norm",), sd,
+                f"{torch_prefix}.block.norm")
+
+    def plain_conv(torch_prefix, flax_path):
+        """Reference Conv with no norm/act wrapper needed on our side."""
+        w = sd[f"{torch_prefix}.block.conv.conv.weight"]
+        k = w.shape[-1]
+        conv = pointwise_kernel(w) if k == 1 else np.transpose(w, (3, 2, 1, 0))
+        _set(tree["params"], flax_path + ("conv", "kernel"), conv)
+        if f"{torch_prefix}.block.conv.conv.bias" in sd:
+            _set(tree["params"], flax_path + ("conv", "bias"),
+                 sd[f"{torch_prefix}.block.conv.conv.bias"])
+
+    def embedding(torch_prefix, flax_name):
+        if f"{torch_prefix}.norm.bn.weight" in sd:
+            _bn(tree, (flax_name, "in_norm"), (flax_name, "in_norm"), sd,
+                f"{torch_prefix}.norm.bn")
+        i = 1
+        while f"{torch_prefix}.cnn{i}.block.conv.conv.weight" in sd:
+            conv_block(f"{torch_prefix}.cnn{i}", (flax_name, f"cnn{i}"))
+            i += 1
+
+    embedding("feature_extractor.pos_embed", "pos_embed")
+    embedding("feature_extractor.vel_embed", "vel_embed")
+    embedding("semantic_embedding.spa_embedding", "joint_embed")
+    embedding("semantic_embedding.tem_embedding", "frame_embed")
+    embedding("semantic_embedding.cls_embedding", "class_embed")
+
+    # spatial GCN block -------------------------------------------------
+    i = 1
+    while f"sgcn.gcn_g{i}.g1.block.conv.conv.weight" in sd:
+        for gname in ("g1", "g2", "g3", "g4"):
+            if f"sgcn.gcn_g{i}.{gname}.block.conv.conv.weight" in sd:
+                plain_conv(f"sgcn.gcn_g{i}.{gname}",
+                           ("sgcn", f"g{i}", gname))
+        if f"sgcn.gcn_g{i}.alpha" in sd:
+            _set(tree["params"], ("sgcn", f"g{i}", "alpha"),
+                 sd[f"sgcn.gcn_g{i}.alpha"])
+        i += 1
+    i = 1
+    while f"sgcn.gcn{i}.w1.block.conv.conv.weight" in sd:
+        _set(tree["params"], ("sgcn", f"gcn{i}", "w1", "kernel"),
+             pointwise_kernel(sd[f"sgcn.gcn{i}.w1.block.conv.conv.weight"]))
+        if f"sgcn.gcn{i}.w1.block.conv.conv.bias" in sd:
+            _set(tree["params"], ("sgcn", f"gcn{i}", "w1", "bias"),
+                 sd[f"sgcn.gcn{i}.w1.block.conv.conv.bias"])
+        plain_conv(f"sgcn.gcn{i}.w2", ("sgcn", f"gcn{i}", "w2"))
+        if f"sgcn.gcn{i}.norm.weight" in sd:
+            _bn(tree, ("sgcn", f"gcn{i}", "norm"),
+                ("sgcn", f"gcn{i}", "norm"), sd, f"sgcn.gcn{i}.norm")
+        if f"sgcn.gcn_prenorm{i}.weight" in sd:
+            _bn(tree, ("sgcn", f"prenorm{i}"), ("sgcn", f"prenorm{i}"), sd,
+                f"sgcn.gcn_prenorm{i}")
+        if f"sgcn.gcn_ffn{i}.ffn1.block.conv.conv.weight" in sd:
+            conv_block(f"sgcn.gcn_ffn{i}.ffn1", ("sgcn", f"ffn{i}", "ffn1"))
+            conv_block(f"sgcn.gcn_ffn{i}.ffn2", ("sgcn", f"ffn{i}", "ffn2"))
+        i += 1
+
+    # temporal branches -------------------------------------------------
+    for key in list(sd):
+        m = re.match(r"^tem_mlp_(\d+)_(\d+)_k(\d+)\.cnn\.cnn(\d)\."
+                     r"block\.conv\.conv\.weight$", key)
+        if not m:
+            continue
+        i, j, k, layer = m.groups()
+        conv_block(f"tem_mlp_{i}_{j}_k{k}.cnn.cnn{layer}",
+                   (f"tem{i}_{j}_k{k}", f"cnn{layer}"))
+
+    _set(tree["params"], ("fc", "kernel"), linear_kernel(sd["fc.weight"]))
+    _set(tree["params"], ("fc", "bias"), sd["fc.bias"])
+    return tree
+
+
 def agcn_variables_from_torch(sd: Mapping[str, Any],
                               num_subset: int = 3) -> Dict[str, Dict]:
     """Map the reference AGCN state_dict (agcn.py Model) onto our AGCN."""

@@ -1,0 +1,120 @@
+"""SGN tests: shapes across config space + parity vs reference sgn_v14."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from agcn_tpu.models.sgn import SGN
+from agcn_tpu.utils.torch_import import sgn_variables_from_torch
+
+from .conftest import add_reference_to_path, reference_available
+
+
+def seg_inputs(n=4, t=20, v=25, c=3, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n, t, v * c)).astype(np.float32)
+
+
+@pytest.mark.parametrize("kwargs", [
+    dict(),
+    dict(sgcn_gt_mode=0),
+    dict(semantic_joint_fusion=1),
+    dict(semantic_frame_location=1),
+    dict(multi_t=((), (), (3, 5, 7))),
+    dict(t_mode=2, sgcn_residual=(1, 1, 1)),
+    dict(sgcn_prenorm=True, sgcn_ffn=4.0),
+    dict(input_position=2, input_velocity=11),
+    dict(semantic_frame=0, semantic_joint=0, semantic_joint_fusion=1),
+    dict(sgcn_g_proj_dim=(256, 256, 256)),
+])
+def test_forward_configs(kwargs):
+    model = SGN(num_class=13, **kwargs)
+    x = jnp.asarray(seg_inputs())
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    logits, aux = model.apply(variables, x, train=False)
+    assert logits.shape == (4, 13)
+    assert np.all(np.isfinite(np.asarray(logits)))
+
+
+def test_train_mode_with_dropout():
+    model = SGN(num_class=7, dropout=0.1, dropout2d=0.2, sgcn_dropout=0.1)
+    x = jnp.asarray(seg_inputs())
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    logits, _ = model.apply(variables, x, train=True,
+                            mutable=["batch_stats"],
+                            rngs={"dropout": jax.random.PRNGKey(1)})[0]
+    assert np.all(np.isfinite(np.asarray(logits)))
+
+
+V14_KWARGS = dict(
+    num_class=60, num_point=25, num_segment=20, in_channels=3, bias=1,
+    dropout=0.0, dropout2d=0.2, c_multiplier=[1.0, 1.0, 1.0, 1.0],
+    norm_type="bn", act_type="relu", xem_projection=0, input_position=1,
+    input_velocity=1, semantic_joint=1, semantic_frame=1, semantic_class=0,
+    semantic_joint_fusion=0, semantic_frame_fusion=1,
+    semantic_frame_location=0, sgcn_dims=[128, 256, 256], sgcn_kernel=1,
+    sgcn_padding=0, sgcn_dropout=0.0, sgcn_residual=[0, 0, 0],
+    sgcn_prenorm=False, sgcn_g_kernel=1, sgcn_g_proj_dim=256,
+    sgcn_g_proj_shared=False, gcn_fpn=-1, spatial_maxpool=1,
+    temporal_maxpool=1, multi_t=[[], [], [3]], t_mode=1,
+)
+
+
+def _torch_sgn(**overrides):
+    add_reference_to_path()
+    import torch
+    from model.architecture.sgn.sgn_v14 import SGN as TorchSGN
+
+    torch.manual_seed(0)
+    kwargs = {**V14_KWARGS, **overrides}
+    return TorchSGN(**kwargs)
+
+
+def _ours_from(kwargs):
+    return SGN(
+        num_class=kwargs["num_class"], num_point=kwargs["num_point"],
+        num_segment=kwargs["num_segment"], in_channels=kwargs["in_channels"],
+        use_bias=bool(kwargs["bias"]), dropout=kwargs["dropout"],
+        dropout2d=kwargs["dropout2d"],
+        input_position=kwargs["input_position"],
+        input_velocity=kwargs["input_velocity"],
+        semantic_joint=kwargs["semantic_joint"],
+        semantic_frame=kwargs["semantic_frame"],
+        semantic_class=kwargs["semantic_class"],
+        semantic_joint_fusion=kwargs["semantic_joint_fusion"],
+        semantic_frame_location=kwargs["semantic_frame_location"],
+        sgcn_dims=tuple(kwargs["sgcn_dims"]),
+        sgcn_residual=tuple(kwargs["sgcn_residual"]),
+        sgcn_prenorm=kwargs["sgcn_prenorm"],
+        sgcn_g_proj_dim=kwargs["sgcn_g_proj_dim"],
+        sgcn_g_proj_shared=kwargs["sgcn_g_proj_shared"],
+        sgcn_gt_mode=kwargs.get("sgcn_gt_mode", 1),
+        spatial_maxpool=kwargs["spatial_maxpool"],
+        temporal_maxpool=kwargs["temporal_maxpool"],
+        multi_t=tuple(tuple(t) for t in kwargs["multi_t"]),
+        t_mode=kwargs["t_mode"],
+    )
+
+
+@pytest.mark.skipif(not reference_available(), reason="reference not mounted")
+@pytest.mark.parametrize("overrides", [
+    dict(),                     # shipped train_sgn_v14.yaml (gt_mode 1)
+    dict(sgcn_gt_mode=0),       # original-SGN G attention
+    dict(multi_t=[[], [], [3, 5, 7]]),
+])
+def test_parity_vs_torch_reference(overrides):
+    import torch
+
+    kwargs = {**V14_KWARGS, **overrides}
+    ref = _torch_sgn(**overrides).eval()
+    x_np = seg_inputs()
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(x_np))
+    ref_logits = ref_out[0].numpy()
+
+    model = _ours_from(kwargs)
+    variables = sgn_variables_from_torch(ref.state_dict())
+    ours, _ = model.apply(variables, jnp.asarray(x_np), train=False)
+    np.testing.assert_allclose(np.asarray(ours), ref_logits,
+                               atol=3e-4, rtol=3e-4)
