@@ -1,0 +1,5 @@
+from agcn_tpu.train import losses, optim
+from agcn_tpu.train.steps import TrainState, make_eval_step, make_train_step
+
+__all__ = ["losses", "optim", "TrainState", "make_eval_step",
+           "make_train_step"]
