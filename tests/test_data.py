@@ -1,0 +1,150 @@
+"""Data-layer tests: transforms, feeder, SGN sampling, pipeline sharding."""
+
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+from agcn_tpu.data import (BatchIterator, SGNDataset, SegmentSampler,
+                           SkeletonDataset, make_sgn_collate, transforms as T)
+
+
+def _make_dense_dataset(tmp_path, n=12, c=3, t=32, v=25, m=2, num_class=5):
+    rng = np.random.default_rng(0)
+    data = rng.standard_normal((n, c, t, v, m)).astype(np.float32)
+    # zero-pad tails to emulate variable-length sequences
+    for i in range(n):
+        data[i, :, 20 + i % 10:] = 0.0
+    labels = rng.integers(0, num_class, n).tolist()
+    names = [f"sample{i}" for i in range(n)]
+    np.save(tmp_path / "data.npy", data)
+    with open(tmp_path / "label.pkl", "wb") as f:
+        pickle.dump((names, labels), f)
+    return str(tmp_path / "data.npy"), str(tmp_path / "label.pkl")
+
+
+def _make_sgn_dataset(tmp_path, n=10, t=40, feat=150, num_class=5):
+    rng = np.random.default_rng(0)
+    data = rng.standard_normal((n, t, feat)).astype(np.float32)
+    data[:, 30:] = 0.0        # padded frames
+    data[:, :, 75:] = 0.0     # second person absent
+    labels = rng.integers(0, num_class, n)
+    with open(tmp_path / "train_data.pkl", "wb") as f:
+        pickle.dump(data, f)
+    with open(tmp_path / "train_label.pkl", "wb") as f:
+        pickle.dump(labels, f)
+    return str(tmp_path / "train_data.pkl"), str(tmp_path / "train_label.pkl")
+
+
+def test_transforms_shapes():
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((3, 30, 25, 2)).astype(np.float32)
+    assert T.auto_pad(x, 40).shape == (3, 40, 25, 2)
+    assert T.random_choose(x, 16, rng).shape == (3, 16, 25, 2)
+    assert T.random_shift(x, rng).shape == x.shape
+    assert T.random_move(x, rng).shape == x.shape
+    assert T.random_subsample(x, 10, rng).shape == (3, 10, 25, 2)
+    assert T.stretch_to_maximum_length(x).shape == x.shape
+    out = T.random_rotation(x, 0.5, rng)
+    assert out.shape == x.shape
+    # rotation preserves per-frame joint norms
+    n0 = np.linalg.norm(x.reshape(3, -1), axis=0)
+    n1 = np.linalg.norm(out.reshape(3, -1), axis=0)
+    np.testing.assert_allclose(n0, n1, rtol=1e-4)
+
+
+def test_batch_rotation_preserves_norms():
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((4, 20, 75)).astype(np.float32)
+    out = T.batch_rotation(x, 0.5, rng)
+    p0 = x.reshape(4, 20, 25, 3)
+    p1 = out.reshape(4, 20, 25, 3)
+    np.testing.assert_allclose(np.linalg.norm(p0, axis=-1),
+                               np.linalg.norm(p1, axis=-1), rtol=1e-4,
+                               atol=1e-5)
+
+
+def test_split_policies():
+    rng = np.random.default_rng(0)
+    seq = rng.standard_normal((37, 75)).astype(np.float32)
+    for bounds in [T.split_idx_equal(37, 20),
+                   T.split_idx_using_auc(seq, 20),
+                   T.split_idx_using_kmeans(seq, 20),
+                   T.split_idx_tempshift(37, 20, 0.1, rng)]:
+        assert len(bounds) == 21
+        assert bounds[0] >= 0 and bounds[-1] <= 37
+        assert np.all(np.diff(bounds) >= 1), bounds
+    # the center policy may produce zero-width intervals on short
+    # sequences (the reference raises there, loader.py:242-245); our
+    # sampler repairs them at draw time, so only monotonicity is required
+    center = T.split_idx_center(37, 20, 0.001)
+    assert len(center) == 21 and np.all(np.diff(center) >= 0)
+
+
+def test_dense_feeder_and_pipeline(tmp_path):
+    dp, lp = _make_dense_dataset(tmp_path)
+    ds = SkeletonDataset(dp, lp, window_size=16, random_choose=True,
+                         random_rotation=True, random_shift=True)
+    x, y, i = ds[0]
+    assert x.shape == (3, 16, 25, 2)
+    it = BatchIterator(ds, batch_size=4, shuffle=True, seed=1, prefetch=2)
+    batches = list(it)
+    assert len(batches) == 3
+    xb, yb, ib = batches[0]
+    assert xb.shape == (4, 3, 16, 25, 2)
+    # top_k sanity
+    score = np.eye(5)[ds.label]
+    assert ds.top_k(score, 1) == 1.0
+
+
+def test_pipeline_sharding_covers_dataset(tmp_path):
+    dp, lp = _make_dense_dataset(tmp_path)
+    ds = SkeletonDataset(dp, lp, window_size=16)
+    seen = []
+    for shard in range(4):
+        it = BatchIterator(ds, batch_size=3, shuffle=True, seed=7,
+                           num_shards=4, shard_index=shard, prefetch=0)
+        it.set_epoch(3)
+        for _, _, idx in it:
+            seen.extend(idx.tolist())
+    assert set(seen) == set(range(len(ds)))
+
+
+def test_sgn_sampler_collate(tmp_path):
+    dp, lp = _make_sgn_dataset(tmp_path)
+    ds = SGNDataset(dp, lp, merge_val_into_train=False)
+    sampler = SegmentSampler(dataset="NTU60-CV", seg=20, multi_test=3)
+    rng = np.random.default_rng(0)
+    batch = [ds[i] for i in range(4)]
+    x, s, y, idx = sampler.collate(batch, rng, train=True)
+    assert x.shape == (4, 20, 75)
+    assert s.shape == (4, 20, 1)
+    x, s, y, idx = sampler.collate(batch, rng, train=False, multi_crop=True)
+    assert x.shape == (12, 20, 75)
+    assert list(y[:3]) == [y[0]] * 3  # crops are consecutive
+
+
+@pytest.mark.parametrize("kwargs", [
+    dict(motion_sampler=1), dict(midvel_sampler=1),
+    dict(center_sampler=0.001), dict(tempshift_sampler=0.1),
+    dict(motion_sampler=1, motion_norm=1),
+])
+def test_sgn_sampler_policies(tmp_path, kwargs):
+    dp, lp = _make_sgn_dataset(tmp_path)
+    ds = SGNDataset(dp, lp, merge_val_into_train=False)
+    sampler = SegmentSampler(dataset="NTU60-CV", seg=20, **kwargs)
+    rng = np.random.default_rng(0)
+    x, s, y, idx = sampler.collate([ds[0], ds[1]], rng, train=False)
+    assert x.shape == (2, 20, 75)
+    assert np.all(np.isfinite(x))
+
+
+def test_sgn_pipeline_end_to_end(tmp_path):
+    dp, lp = _make_sgn_dataset(tmp_path)
+    ds = SGNDataset(dp, lp, merge_val_into_train=False)
+    sampler = SegmentSampler(dataset="NTU60-CV", seg=20)
+    it = BatchIterator(ds, batch_size=5, shuffle=True,
+                       collate=make_sgn_collate(sampler, train=True))
+    x, y, idx = next(iter(it))
+    assert x.shape == (5, 20, 75)
