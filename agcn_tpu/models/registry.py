@@ -1,0 +1,83 @@
+"""Model registry.
+
+Replaces the reference's dotted-path `import_class` plug-in mechanism
+(utils/utils.py:79-84, utils/processor.py:287): models are selected by
+short name; the reference's dotted paths are aliased so its config files
+work unchanged. Graph construction (the `graph`/`graph_args` model args)
+resolves through agcn_tpu.graph.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict
+
+from agcn_tpu.graph import build_adjacency
+from agcn_tpu.models.aagcn import AAGCN
+from agcn_tpu.models.agcn import AGCN
+from agcn_tpu.models.sgn import SGN
+
+_ALIASES = {
+    "model.agcn.Model": "agcn",
+    "model.aagcn.Model": "aagcn",
+    "model.architecture.aagcn.agcn.Model": "agcn",
+    "model.architecture.aagcn.aagcn.Model": "aagcn",
+    "model.sgn_v14.SGN": "sgn",
+    "model.architecture.sgn.sgn_v14.SGN": "sgn",
+}
+
+
+def _build_agcn(model_args: Dict[str, Any], cls):
+    args = dict(model_args)
+    graph = args.pop("graph", "ntu_rgb_d")
+    graph_args = args.pop("graph_args", {})
+    adj = build_adjacency(graph, **graph_args)
+    # reference arg names we normalize
+    args.pop("num_subset", None)
+    if "drop_out" in args and cls is AGCN:
+        args.pop("drop_out")
+    return cls(adj=adj, **args)
+
+
+def build_model(name: str, model_args: Dict[str, Any]):
+    key = _ALIASES.get(name, name).lower()
+    if key == "agcn":
+        return _build_agcn(model_args, AGCN)
+    if key == "aagcn":
+        return _build_agcn(model_args, AAGCN)
+    if key == "sgn":
+        args = dict(model_args)
+        # normalize reference arg names -> ours
+        rename = {
+            "bias": "use_bias",
+            "sgcn_g_weighted": "sgcn_g_weighted",
+        }
+        for ref, ours in rename.items():
+            if ref in args:
+                args[ours] = args.pop(ref)
+        if "use_bias" in args:
+            args["use_bias"] = bool(args["use_bias"])
+        # drop reference-only args our SGN fixes or doesn't expose
+        for k in ("norm_type", "act_type", "xem_projection",
+                  "semantic_frame_fusion", "semantic_class_fusion",
+                  "sgcn_kernel", "sgcn_padding", "sgcn_g_kernel",
+                  "sgcn_v_kernel", "gcn_fpn", "gcn_fpn_kernel",
+                  "gcn_fpn_shared", "gcn_fpn_output_merge", "bifpn_dim",
+                  "bifpn_layers", "multi_t_shared", "t_maxpool_kwargs",
+                  "t_mha_kwargs", "aspp_rates", "semantic_jdiff",
+                  "semantic_joint_smp", "decomp_kernel_size",
+                  "pool_kernel_sizes", "sgcn_attn_mode", "sgcn_gt_g3_idx",
+                  "sgcn_gt_out_channels2", "sgcn_ffn_mode"):
+            args.pop(k, None)
+        if "sgcn_dims" in args and args["sgcn_dims"] is not None:
+            args["sgcn_dims"] = tuple(args["sgcn_dims"])
+        if "sgcn_residual" in args:
+            r = args["sgcn_residual"]
+            args["sgcn_residual"] = tuple(r) if isinstance(r, (list, tuple)) \
+                else (r,) * 3
+        if "multi_t" in args:
+            args["multi_t"] = tuple(tuple(t) for t in args["multi_t"])
+        if "c_multiplier" in args and not isinstance(
+                args["c_multiplier"], (list, tuple)):
+            args["c_multiplier"] = (args["c_multiplier"],) * 4
+        return SGN(**args)
+    raise KeyError(f"Unknown model {name!r}")

@@ -30,8 +30,8 @@ def make_mesh(data: Optional[int] = None, edge: int = 1,
     n = len(devices)
     if data is None:
         data = n // edge
-    assert data * edge == n, f"{data}x{edge} mesh != {n} devices"
-    dev_array = np.asarray(devices).reshape(data, edge)
+    assert data * edge <= n, f"{data}x{edge} mesh > {n} devices"
+    dev_array = np.asarray(devices[: data * edge]).reshape(data, edge)
     return Mesh(dev_array, ("data", "edge"))
 
 

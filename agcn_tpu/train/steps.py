@@ -59,7 +59,8 @@ def _forward(apply_fn, params, batch_stats, x, train, rng):
 
 def make_train_step(loss_fn: Callable,
                     sam_rho: float = 0.0,
-                    aux_loss_fn: Optional[Callable] = None):
+                    aux_loss_fn: Optional[Callable] = None,
+                    grad_transform: Optional[Callable] = None):
     """Build a jittable train step.
 
     Args:
@@ -67,6 +68,9 @@ def make_train_step(loss_fn: Callable,
       sam_rho: if > 0, SAM two-pass sharpness-aware update.
       aux_loss_fn: optional (aux, labels) -> (scalar, metrics dict) for
         auxiliary losses (MMD etc.).
+      grad_transform: optional grads -> grads hook applied before the
+        optimizer (used for the PA-freeze schedule,
+        reference processor.py:612-616).
     """
 
     def compute_loss(params, state, x, y, rng):
@@ -91,6 +95,8 @@ def make_train_step(loss_fn: Callable,
             # no_sync and BN-stat bypass, processor.py:673-687).
             perturbed = sam_perturbation(grads, state.params, sam_rho)
             (_, (_, _, _)), grads = grad_fn(perturbed, state, x, y, rng)
+        if grad_transform is not None:
+            grads = grad_transform(grads)
         updates, opt_state = state.tx.update(grads, state.opt_state,
                                              state.params)
         params = optax.apply_updates(state.params, updates)

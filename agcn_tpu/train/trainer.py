@@ -1,0 +1,337 @@
+"""Trainer — the runtime that drives training/evaluation end to end.
+
+Parity target: reference utils/processor.py (Processor :56-958): work-dir
+and log management, data/model/optimizer construction from config, the
+epoch loop with warmup+step LR, periodic eval with top-k and score dumps,
+checkpointing, and PA-freeze (only_train_part). TPU-native differences:
+the hot loop is one jitted XLA program per step, data parallelism is a
+sharded jit (no process-per-GPU spawn), and checkpoints are orbax pytrees.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import pickle
+import time
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from agcn_tpu.data import (BatchIterator, SGNDataset, SegmentSampler,
+                           SkeletonDataset, make_sgn_collate)
+from agcn_tpu.models.registry import build_model
+from agcn_tpu.parallel import (jit_data_parallel, make_mesh, replicate_state,
+                               shard_batch)
+from agcn_tpu.train import losses as L
+from agcn_tpu.train import optim as O
+from agcn_tpu.train.steps import TrainState, make_eval_step, make_train_step
+from agcn_tpu.utils.config import Config, save_config
+
+
+def _tree_zero_by_name(grads, substr: str):
+    """Zero every gradient leaf whose path contains `substr` (PA freeze,
+    reference processor.py:612-616, 699-702)."""
+    flat = jax.tree_util.tree_flatten_with_path(grads)
+    zeroed = []
+    for path, leaf in flat[0]:
+        names = [getattr(p, "key", str(p)) for p in path]
+        if any(substr in str(n) for n in names):
+            zeroed.append(jnp.zeros_like(leaf))
+        else:
+            zeroed.append(leaf)
+    return jax.tree_util.tree_unflatten(flat[1], zeroed)
+
+
+class Trainer:
+    def __init__(self, cfg: Config):
+        self.cfg = cfg
+        self.work_dir = cfg.work_dir
+        os.makedirs(self.work_dir, exist_ok=True)
+        os.makedirs(os.path.join(self.work_dir, "checkpoints"), exist_ok=True)
+        os.makedirs(os.path.join(self.work_dir, "score"), exist_ok=True)
+        save_config(cfg, os.path.join(self.work_dir, "config.yaml"))
+        self._log_file = os.path.join(self.work_dir, "log.txt")
+        self._metrics_file = os.path.join(self.work_dir, "metrics.jsonl")
+
+        self.rng = jax.random.PRNGKey(cfg.seed)
+        np.random.seed(cfg.seed)
+
+        # mesh ---------------------------------------------------------
+        n_dev = len(jax.devices())
+        data_axis = cfg.mesh_data or (n_dev // max(cfg.mesh_edge, 1))
+        self.mesh = make_mesh(data=data_axis, edge=cfg.mesh_edge)
+        self.n_data_shards = data_axis
+
+        self.is_sgn = cfg.use_sgn_dataloader or cfg.feeder == "sgn" \
+            or "sgn" in cfg.model.lower()
+        self._load_data()
+        self._load_model()
+        self._load_optimizer()
+        self._build_steps()
+        self.best_acc = 0.0
+        self.best_epoch = -1
+
+    # -- logging -------------------------------------------------------
+
+    def print_log(self, msg: str):
+        line = f"[{time.strftime('%Y-%m-%d %H:%M:%S')}] {msg}"
+        if self.cfg.print_log:
+            print(line, flush=True)
+        with open(self._log_file, "a") as f:
+            f.write(line + "\n")
+
+    def log_metrics(self, **kv):
+        with open(self._metrics_file, "a") as f:
+            f.write(json.dumps(kv) + "\n")
+
+    # -- construction --------------------------------------------------
+
+    def _load_data(self):
+        cfg = self.cfg
+        self.loaders: Dict[str, BatchIterator] = {}
+        self.datasets: Dict[str, Any] = {}
+        shard_kwargs = dict(num_shards=jax.process_count(),
+                            shard_index=jax.process_index())
+        if cfg.phase == "train" and cfg.train_feeder_args:
+            if self.is_sgn:
+                ds = SGNDataset(**cfg.train_feeder_args)
+                sampler = SegmentSampler(
+                    dataset=cfg.train_feeder_args.get("dataset", "NTU60-CV"),
+                    **cfg.train_dataloader_args)
+                collate = make_sgn_collate(sampler, train=True)
+            else:
+                ds = SkeletonDataset(**cfg.train_feeder_args)
+                collate = None
+            self.datasets["train"] = ds
+            self.loaders["train"] = BatchIterator(
+                ds, cfg.batch_size, shuffle=True, drop_last=True,
+                seed=cfg.seed, collate=collate, **shard_kwargs)
+        if cfg.test_feeder_args:
+            if self.is_sgn:
+                ds = SGNDataset(**cfg.test_feeder_args)
+                sampler = SegmentSampler(
+                    dataset=cfg.test_feeder_args.get("dataset", "NTU60-CV"),
+                    **cfg.test_dataloader_args)
+                self.multi_test = sampler.multi_test
+                collate = make_sgn_collate(sampler, train=False,
+                                           multi_crop=self.multi_test > 1)
+            else:
+                ds = SkeletonDataset(**cfg.test_feeder_args)
+                collate = None
+                self.multi_test = 1
+            self.datasets["val"] = ds
+            self.loaders["val"] = BatchIterator(
+                ds, cfg.test_batch_size, shuffle=False, drop_last=False,
+                seed=cfg.seed, collate=collate)
+
+    def _load_model(self):
+        cfg = self.cfg
+        model_args = dict(cfg.model_args)
+        if cfg.compute_dtype == "bfloat16" and "sgn" not in cfg.model.lower():
+            model_args.setdefault("dtype", jnp.bfloat16)
+        self.model = build_model(cfg.model, model_args)
+        example = self._example_input()
+        variables = self.model.init(self.rng, example, train=False)
+        self.params = variables["params"]
+        self.batch_stats = variables.get("batch_stats", {})
+        n_params = sum(x.size for x in jax.tree_util.tree_leaves(self.params))
+        self.print_log(f"Model {cfg.model} built: {n_params:,} params")
+        if cfg.weights:
+            self._load_weights(cfg.weights, cfg.ignore_weights)
+
+    def _example_input(self):
+        cfg = self.cfg
+        if self.is_sgn:
+            seg = cfg.train_dataloader_args.get(
+                "seg", cfg.test_dataloader_args.get("seg", 20))
+            v = cfg.model_args.get("num_point", 25)
+            c = cfg.model_args.get("in_channels", 3)
+            return jnp.zeros((2, seg, v * c), jnp.float32)
+        v = cfg.model_args.get("num_point", 25)
+        m = cfg.model_args.get("num_person", 2)
+        c = cfg.model_args.get("in_channels", 3)
+        return jnp.zeros((2, c, 16, v, m), jnp.float32)
+
+    def _load_weights(self, path: str, ignore: list):
+        """Load an orbax/npz checkpoint; substring-filtered like the
+        reference's --ignore-weights (processor.py:251-259)."""
+        from agcn_tpu.train.checkpoint import load_checkpoint, merge_params
+        ckpt = load_checkpoint(path)
+        self.params = merge_params(self.params, ckpt.get("params", {}),
+                                   ignore, log=self.print_log)
+        if "batch_stats" in ckpt:
+            self.batch_stats = merge_params(
+                self.batch_stats, ckpt["batch_stats"], ignore,
+                log=self.print_log)
+        self.print_log(f"Loaded weights from {path}")
+
+    def _load_optimizer(self):
+        cfg = self.cfg
+        steps_per_epoch = max(len(self.loaders.get("train", [])) or 1, 1)
+        self.steps_per_epoch = steps_per_epoch
+        if cfg.scheduler == "onecyclelr":
+            sched = O.onecycle_schedule(
+                cfg.base_lr, steps_per_epoch, cfg.num_epoch,
+                cfg.warm_up_epoch, cfg.initial_lr or None,
+                cfg.final_lr or None, cfg.anneal_strategy)
+        elif cfg.scheduler in ("cycliclr", "cycliclrtri2"):
+            sched = O.cyclic_schedule(
+                cfg.base_lr, steps_per_epoch,
+                "triangular2" if cfg.scheduler.endswith("tri2")
+                else "triangular")
+        else:
+            sched = O.warmup_step_schedule(
+                cfg.base_lr, steps_per_epoch, cfg.step, cfg.warm_up_epoch)
+        self.schedule = sched
+        self.tx = O.build_optimizer(
+            cfg.optimizer, sched, cfg.weight_decay, cfg.nesterov, cfg.eps,
+            grad_clip=cfg.grad_clip)
+        self.state = TrainState.create(self.model.apply, self.params,
+                                       self.batch_stats, self.tx)
+        if self.n_data_shards > 1:
+            self.state = replicate_state(self.mesh, self.state)
+
+    def _build_steps(self):
+        cfg = self.cfg
+        loss_fn = L.build_loss(cfg.loss, cfg.model_args.get("num_class", 60),
+                               smoothing=cfg.label_smoothing,
+                               alpha=cfg.fl_alpha, gamma=cfg.fl_gamma)
+        sam_rho = cfg.sam_rho if cfg.optimizer.upper().startswith("SAM") \
+            else 0.0
+        base_step = make_train_step(loss_fn, sam_rho=sam_rho)
+        frozen_step = make_train_step(
+            loss_fn, sam_rho=sam_rho,
+            grad_transform=lambda g: _tree_zero_by_name(g, "PA"))
+        self._loss_fn = loss_fn
+
+        def compile_step(fn):
+            if self.n_data_shards > 1:
+                return jit_data_parallel(fn, self.mesh, donate_state=False)
+            return jax.jit(fn)
+
+        self._train_step = compile_step(base_step)
+        # PA frozen while epoch <= only_train_epoch
+        # (reference processor.py:612-630)
+        self._train_step_frozen = compile_step(frozen_step) \
+            if cfg.only_train_part else self._train_step
+        eval_step = make_eval_step(loss_fn, multi_crop=getattr(
+            self, "multi_test", 1))
+        self._eval_step = jax.jit(eval_step)
+
+    # -- phases --------------------------------------------------------
+
+    def start(self):
+        cfg = self.cfg
+        if cfg.phase == "train":
+            for epoch in range(cfg.start_epoch, cfg.num_epoch):
+                self.train_epoch(epoch)
+                if (epoch + 1) % cfg.eval_interval == 0 \
+                        or epoch + 1 == cfg.num_epoch:
+                    self.evaluate(epoch, save_score=cfg.save_score)
+                if (epoch + 1) % cfg.save_interval == 0 \
+                        or epoch + 1 == cfg.num_epoch:
+                    self.save_checkpoint(epoch)
+            self.print_log(
+                f"Best top-1: {self.best_acc:.4f} @ epoch {self.best_epoch}")
+        elif cfg.phase == "test":
+            if not cfg.weights:
+                raise ValueError("--weights required for phase test")
+            self.evaluate(0, save_score=cfg.save_score,
+                          write_predictions=True)
+        else:
+            raise ValueError(f"Unknown phase {cfg.phase}")
+
+    def train_epoch(self, epoch: int):
+        cfg = self.cfg
+        loader = self.loaders["train"]
+        loader.set_epoch(epoch)
+        self.rng, epoch_rng = jax.random.split(self.rng)
+        t0 = time.time()
+        seen = 0
+        last_metrics = {}
+        for i, (x, y, idx) in enumerate(loader):
+            if self.is_sgn:
+                xb = x  # (B, seg, VC)
+            else:
+                xb = x  # (B, C, T, V, M)
+            if self.n_data_shards > 1:
+                xb, yb = shard_batch(self.mesh, xb, y)
+            else:
+                xb, yb = jnp.asarray(xb), jnp.asarray(y)
+            step_fn = (self._train_step_frozen
+                       if cfg.only_train_part
+                       and epoch <= cfg.only_train_epoch
+                       else self._train_step)
+            self.state, metrics = step_fn(self.state, xb, yb, epoch_rng)
+            seen += len(y)
+            if (i + 1) % cfg.log_interval == 0:
+                m = {k: float(v) for k, v in metrics.items()}
+                lr = float(self.schedule(int(self.state.step)))
+                self.print_log(
+                    f"epoch {epoch} step {i + 1}/{len(loader)} "
+                    f"loss {m['loss']:.4f} acc {m['acc']:.3f} lr {lr:.5f}")
+            last_metrics = metrics
+        dt = time.time() - t0
+        m = {k: float(v) for k, v in last_metrics.items()} if last_metrics \
+            else {}
+        self.log_metrics(kind="train", epoch=epoch, seconds=dt,
+                         seq_per_sec=seen / max(dt, 1e-9), **m)
+        self.print_log(
+            f"epoch {epoch} done in {dt:.1f}s "
+            f"({seen / max(dt, 1e-9):.1f} seq/s)")
+
+    def evaluate(self, epoch: int, save_score: bool = False,
+                 write_predictions: bool = False):
+        cfg = self.cfg
+        if "val" not in self.loaders:
+            return
+        loader = self.loaders["val"]
+        ds = self.datasets["val"]
+        scores = []
+        t0 = time.time()
+        for x, y, idx in loader:
+            logits, _ = self._eval_step(self.state, jnp.asarray(x), None)
+            scores.append(np.asarray(logits))
+        score = np.concatenate(scores, axis=0)[: len(ds)]
+        accs = {k: ds.top_k(score, k) for k in cfg.show_topk}
+        dt = time.time() - t0
+        if accs.get(1, 0.0) > self.best_acc:
+            self.best_acc = accs.get(1, 0.0)
+            self.best_epoch = epoch
+        msg = ", ".join(f"top-{k}: {v:.4f}" for k, v in accs.items())
+        self.print_log(f"eval epoch {epoch}: {msg} ({dt:.1f}s)")
+        self.log_metrics(kind="eval", epoch=epoch, seconds=dt,
+                         **{f"top{k}": v for k, v in accs.items()})
+        if save_score:
+            names = getattr(ds, "sample_name",
+                            np.arange(len(ds)))
+            out = {str(n): s for n, s in zip(names, score)}
+            path = os.path.join(self.work_dir, "score",
+                                f"epoch{epoch + 1}_val.pkl")
+            with open(path, "wb") as f:
+                pickle.dump(out, f)
+        if write_predictions:
+            pred = score.argmax(-1)
+            with open(os.path.join(self.work_dir, "right.txt"), "w") as fr, \
+                    open(os.path.join(self.work_dir, "wrong.txt"), "w") as fw:
+                for i, (p, l) in enumerate(zip(pred, ds.label)):
+                    line = f"{i},{p},{l}\n"
+                    (fr if p == l else fw).write(line)
+        return accs
+
+    def save_checkpoint(self, epoch: int):
+        from agcn_tpu.train.checkpoint import save_checkpoint
+        path = os.path.join(self.work_dir, "checkpoints",
+                            f"epoch_{epoch + 1}")
+        save_checkpoint(path, {
+            "params": jax.device_get(self.state.params),
+            "batch_stats": jax.device_get(self.state.batch_stats),
+            "step": int(self.state.step),
+            "epoch": epoch,
+        })
+        self.print_log(f"checkpoint saved: {path}")

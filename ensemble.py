@@ -1,0 +1,69 @@
+#!/usr/bin/env python
+"""Two-stream score fusion — the '2s' in 2s-AGCN.
+
+Parity target: reference ensemble.py: load joint-stream and bone-stream
+score pickles, fuse r = r_joint + alpha * r_bone, report top-1/top-5.
+
+Usage:
+    python ensemble.py --label val_label.pkl \
+        --joint-score work_dir/joint/score/epoch50_val.pkl \
+        --bone-score work_dir/bone/score/epoch50_val.pkl --alpha 1.0
+"""
+
+import argparse
+import pickle
+
+import numpy as np
+
+
+def load_scores(path):
+    with open(path, "rb") as f:
+        obj = pickle.load(f)
+    if isinstance(obj, dict):
+        return list(obj.keys()), np.stack([np.asarray(v)
+                                           for v in obj.values()])
+    return None, np.asarray(obj)
+
+
+def load_labels(path):
+    with open(path, "rb") as f:
+        try:
+            obj = pickle.load(f)
+        except UnicodeDecodeError:
+            f.seek(0)
+            obj = pickle.load(f, encoding="latin1")
+    if isinstance(obj, tuple) or (isinstance(obj, list) and len(obj) == 2
+                                  and not np.isscalar(obj[0])):
+        return np.asarray(obj[1])
+    return np.asarray(obj)
+
+
+def ensemble(labels, joint, bone, alpha=1.0, topk=(1, 5)):
+    fused = joint + alpha * bone
+    rank = fused.argsort(axis=-1)
+    out = {}
+    for k in topk:
+        hits = [l in rank[i, -k:] for i, l in enumerate(labels)]
+        out[k] = sum(hits) / len(hits)
+    return out
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--label", required=True)
+    p.add_argument("--joint-score", required=True)
+    p.add_argument("--bone-score", required=True)
+    p.add_argument("--alpha", type=float, default=1.0)
+    args = p.parse_args(argv)
+
+    labels = load_labels(args.label)
+    _, joint = load_scores(args.joint_score)
+    _, bone = load_scores(args.bone_score)
+    accs = ensemble(labels, joint, bone, args.alpha)
+    for k, v in accs.items():
+        print(f"top-{k}: {v:.4f}")
+    return accs
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,35 @@
+#!/usr/bin/env python
+"""CLI entry point.
+
+Parity target: reference main.py (train/test driver). Where the reference
+spawns one process per GPU with NCCL (main.py:20-55), this runs one
+process per host: all local chips join the mesh via `jax.sharding`, and
+multi-host runs call `jax.distributed.initialize` before building the
+trainer.
+
+Usage:
+    python main.py --config configs/ntu60_xview/train_joint.yaml
+    python main.py --config ... --phase test --weights work_dir/.../epoch_50
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main(argv=None):
+    from agcn_tpu.utils.config import config_from_cli
+
+    cfg = config_from_cli(argv)
+    if cfg.world_size > 1:
+        import jax
+
+        jax.distributed.initialize()
+    from agcn_tpu.train.trainer import Trainer
+
+    Trainer(cfg).start()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,145 @@
+"""End-to-end trainer tests on synthetic data: full train->eval->checkpoint
+->resume->ensemble workflow for both the dense (AGCN) and SGN paths."""
+
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+from agcn_tpu.utils.config import Config, load_config
+
+from .conftest import REPO_ROOT
+
+
+def _dense_data(tmp_path, n=16, c=3, t=16, v=25, m=2, num_class=4):
+    rng = np.random.default_rng(0)
+    # make classes separable so a couple epochs visibly learn
+    data = rng.standard_normal((n, c, t, v, m)).astype(np.float32) * 0.1
+    labels = (np.arange(n) % num_class).tolist()
+    for i, l in enumerate(labels):
+        data[i, 0] += l  # class-dependent offset
+    names = [f"s{i}" for i in range(n)]
+    np.save(tmp_path / "data.npy", data)
+    with open(tmp_path / "label.pkl", "wb") as f:
+        pickle.dump((names, labels), f)
+    return str(tmp_path / "data.npy"), str(tmp_path / "label.pkl")
+
+
+def _make_cfg(tmp_path, dp, lp, **over):
+    cfg = Config()
+    cfg.work_dir = str(tmp_path / "work")
+    cfg.model = "agcn"
+    cfg.model_args = {"num_class": 4, "graph": "ntu_rgb_d"}
+    cfg.train_feeder_args = {"data_path": dp, "label_path": lp,
+                             "window_size": 16}
+    cfg.test_feeder_args = {"data_path": dp, "label_path": lp,
+                            "window_size": 16}
+    cfg.batch_size = 8
+    cfg.test_batch_size = 8
+    cfg.num_epoch = 2
+    cfg.eval_interval = 1
+    cfg.save_interval = 2
+    cfg.base_lr = 0.05
+    cfg.save_score = True
+    cfg.log_interval = 1000
+    cfg.mesh_data = 1
+    for k, v in over.items():
+        setattr(cfg, k, v)
+    return cfg
+
+
+def test_dense_trainer_end_to_end(tmp_path):
+    from agcn_tpu.train.trainer import Trainer
+
+    dp, lp = _dense_data(tmp_path)
+    cfg = _make_cfg(tmp_path, dp, lp)
+    tr = Trainer(cfg)
+    tr.start()
+    # artifacts
+    assert os.path.exists(os.path.join(cfg.work_dir, "config.yaml"))
+    assert os.path.exists(os.path.join(cfg.work_dir, "log.txt"))
+    score_files = os.listdir(os.path.join(cfg.work_dir, "score"))
+    assert score_files
+    ckpts = os.listdir(os.path.join(cfg.work_dir, "checkpoints"))
+    assert ckpts
+    assert tr.best_acc > 0.0
+
+
+def test_resume_and_test_phase(tmp_path):
+    from agcn_tpu.train.trainer import Trainer
+
+    dp, lp = _dense_data(tmp_path)
+    cfg = _make_cfg(tmp_path, dp, lp)
+    Trainer(cfg).start()
+    ckpt = os.path.join(cfg.work_dir, "checkpoints", "epoch_2")
+
+    cfg2 = _make_cfg(tmp_path, dp, lp, phase="test", weights=ckpt)
+    cfg2.work_dir = str(tmp_path / "work_test")
+    tr = Trainer(cfg2)
+    tr.start()
+    assert os.path.exists(os.path.join(cfg2.work_dir, "right.txt"))
+
+
+def test_ensemble_cli(tmp_path):
+    import sys
+    sys.path.insert(0, REPO_ROOT)
+    import ensemble as ens
+
+    labels = np.array([0, 1, 2, 3])
+    with open(tmp_path / "label.pkl", "wb") as f:
+        pickle.dump((["a", "b", "c", "d"], labels.tolist()), f)
+    joint = np.eye(4) * 0.6
+    bone = np.eye(4) * 0.5
+    with open(tmp_path / "joint.pkl", "wb") as f:
+        pickle.dump({str(i): joint[i] for i in range(4)}, f)
+    with open(tmp_path / "bone.pkl", "wb") as f:
+        pickle.dump({str(i): bone[i] for i in range(4)}, f)
+    accs = ens.main(["--label", str(tmp_path / "label.pkl"),
+                     "--joint-score", str(tmp_path / "joint.pkl"),
+                     "--bone-score", str(tmp_path / "bone.pkl")])
+    assert accs[1] == 1.0
+
+
+def test_sgn_trainer_end_to_end(tmp_path):
+    from agcn_tpu.train.trainer import Trainer
+
+    rng = np.random.default_rng(0)
+    n, t, feat, num_class = 12, 40, 150, 3
+    data = rng.standard_normal((n, t, feat)).astype(np.float32) * 0.1
+    labels = np.arange(n) % num_class
+    for i, l in enumerate(labels):
+        data[i] += l * 0.5
+    data[:, 30:] = 0.0
+    data[:, :, 75:] = 0.0
+    with open(tmp_path / "train_data.pkl", "wb") as f:
+        pickle.dump(data, f)
+    with open(tmp_path / "train_label.pkl", "wb") as f:
+        pickle.dump(labels, f)
+
+    cfg = Config()
+    cfg.work_dir = str(tmp_path / "work_sgn")
+    cfg.model = "sgn"
+    cfg.use_sgn_dataloader = True
+    cfg.model_args = {"num_class": num_class, "num_point": 25,
+                      "num_segment": 20, "bias": 1, "dropout2d": 0.0}
+    feeder_args = {"data_path": str(tmp_path / "train_data.pkl"),
+                   "label_path": str(tmp_path / "train_label.pkl"),
+                   "dataset": "NTU60-CV-SGN",
+                   "merge_val_into_train": False}
+    cfg.train_feeder_args = dict(feeder_args)
+    cfg.test_feeder_args = dict(feeder_args)
+    cfg.train_dataloader_args = {"seg": 20, "multi_test": 1}
+    cfg.test_dataloader_args = {"seg": 20, "multi_test": 2}
+    cfg.batch_size = 6
+    cfg.test_batch_size = 4
+    cfg.num_epoch = 1
+    cfg.eval_interval = 1
+    cfg.optimizer = "Adam"
+    cfg.base_lr = 0.001
+    cfg.label_smoothing = 0.1
+    cfg.mesh_data = 1
+    tr = Trainer(cfg)
+    tr.start()
+    assert tr.best_acc >= 0.0
+    assert os.path.exists(os.path.join(cfg.work_dir, "metrics.jsonl"))
