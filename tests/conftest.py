@@ -32,38 +32,7 @@ def reference_available() -> bool:
 
 
 def add_reference_to_path():
-    """Make the PyTorch reference importable for parity tests (read-only).
+    """Make the PyTorch reference importable for parity tests (read-only)."""
+    from agcn_tpu.utils.reference_stubs import install
 
-    Stubs the reference's optional dependencies that aren't in this image
-    (typer, torchinfo, fvcore) so its eager package __init__ imports work.
-    """
-    if REFERENCE_ROOT not in sys.path:
-        sys.path.insert(0, REFERENCE_ROOT)
-    import types
-
-    if "typer" not in sys.modules:
-        typer = types.ModuleType("typer")
-        typer.Option = lambda *a, **k: None
-        sys.modules["typer"] = typer
-    if "torchinfo" not in sys.modules:
-        torchinfo = types.ModuleType("torchinfo")
-        torchinfo.summary = lambda *a, **k: None
-        sys.modules["torchinfo"] = torchinfo
-    if "DeBERTa" not in sys.modules:
-        deberta_pkg = types.ModuleType("DeBERTa")
-        deberta_mod = types.ModuleType("DeBERTa.deberta")
-
-        class _Stub:  # archived aagcn_v27 references these at class scope
-            def __init__(self, *a, **k):
-                raise ImportError("DeBERTa stub")
-
-        for name in ("DisentangledSelfAttention", "BertLayerNorm",
-                     "StableDropout", "ACT2FN"):
-            setattr(deberta_mod, name, _Stub)
-        deberta_pkg.deberta = deberta_mod
-        sys.modules["DeBERTa"] = deberta_pkg
-        sys.modules["DeBERTa.deberta"] = deberta_mod
-    if "sam" not in sys.modules:
-        sam = types.ModuleType("sam")
-        sam.SAM = None
-        sys.modules["sam"] = sam
+    install(REFERENCE_ROOT)

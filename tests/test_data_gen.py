@@ -1,0 +1,109 @@
+"""Offline data-generation tests, including parity of pre_normalization
+and stream generation vs the reference data_gen."""
+
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+from agcn_tpu.data.gen import (bone_stream, motion_stream, pre_normalization,
+                               rotation_matrix)
+from agcn_tpu.data.gen.ntu import parse_sample_name, read_xyz
+from agcn_tpu.data.gen.sgn import dense_to_sgn
+
+from .conftest import add_reference_to_path, reference_available
+
+
+def _random_skeleton_data(n=3, t=20, v=25, m=2, seed=0):
+    rng = np.random.default_rng(seed)
+    data = np.zeros((n, 3, 300, v, m), dtype=np.float32)
+    data[:, :, :t] = rng.standard_normal((n, 3, t, v, m)) * 0.3
+    # second person missing for sample 0
+    data[0, :, :, :, 1] = 0
+    return data
+
+
+def test_parse_sample_name():
+    assert parse_sample_name("S001C002P003R004A005.skeleton") == (3, 2, 5)
+
+
+def test_pre_normalization_centers_spine():
+    data = _random_skeleton_data()
+    out = pre_normalization(data.copy())
+    assert out.shape == data.shape
+    # after pad, frames are filled through the whole window
+    assert np.abs(out[0, :, 150]).sum() > 0
+    # centering: spine joint of the main body is at the origin
+    np.testing.assert_allclose(out[0, :, 5, 1, 0], 0, atol=1e-5)
+
+
+@pytest.mark.skipif(not reference_available(), reason="reference not mounted")
+def test_pre_normalization_parity():
+    add_reference_to_path()
+    from data_gen.preprocess import pre_normalization as ref_pre
+
+    data = _random_skeleton_data()
+    ours = pre_normalization(data.copy())
+    ref = ref_pre(data.copy())
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+def test_bone_and_motion_streams():
+    data = _random_skeleton_data()
+    bones = bone_stream(data, "ntu_rgb_d")
+    assert bones.shape == data.shape
+    # center joint bone is zero
+    np.testing.assert_allclose(bones[:, :, :, 20], 0, atol=1e-7)
+    motion = motion_stream(data)
+    np.testing.assert_allclose(motion[:, :, 5], data[:, :, 6] - data[:, :, 5],
+                               atol=1e-7)
+    np.testing.assert_allclose(motion[:, :, -1], 0, atol=1e-7)
+
+
+@pytest.mark.skipif(not reference_available(), reason="reference not mounted")
+def test_bone_pairs_match_reference_table():
+    """Our skeleton-registry bone pairs must reproduce the reference's
+    hardcoded table (data_gen/gen_bone_data.py:6-28)."""
+    import re
+
+    with open("/root/reference/data_gen/gen_bone_data.py") as f:
+        src = f.read()
+    seg = src.split("'ntu/xview'")[1].split("'ntu/xsub'")[0]
+    pairs = re.findall(r"\((\d+),\s*(\d+)\)", seg)
+    ref_pairs = {(int(a) - 1, int(b) - 1) for a, b in pairs}
+    from agcn_tpu.graph import get_skeleton
+
+    ours = set(get_skeleton("ntu_rgb_d").bone_pairs)
+    # reference pairs the center joint (21 -> idx 20) with itself too
+    assert ref_pairs == ours
+
+
+def test_dense_to_sgn_roundtrip():
+    data = _random_skeleton_data(t=40)
+    sgn = dense_to_sgn(data)
+    assert sgn.shape == (3, 300, 150)
+    # first frame origin: main-body center joint at 0
+    np.testing.assert_allclose(sgn[1, 0, 3:6], 0, atol=1e-6)
+    # padded tail is zero
+    np.testing.assert_allclose(sgn[:, 40:], 0, atol=1e-7)
+
+
+def test_read_xyz_from_synthetic_skeleton(tmp_path):
+    path = tmp_path / "S001C002P003R004A005.skeleton"
+    rng = np.random.default_rng(0)
+    frames = 4
+    with open(path, "w") as f:
+        f.write(f"{frames}\n")
+        for t in range(frames):
+            f.write("1\n")  # one body
+            f.write("72057594037931101 0 1 1 1 1 0 0.1 0.2 2\n")
+            f.write("25\n")
+            for j in range(25):
+                xyz = rng.standard_normal(3) * 0.1
+                f.write(" ".join(f"{v:.5f}" for v in xyz)
+                        + " 100 100 500 500 0 0 0 1 2\n")
+    data = read_xyz(str(path))
+    assert data.shape == (3, frames, 25, 2)
+    assert np.abs(data[:, :, :, 0]).sum() > 0
+    np.testing.assert_allclose(data[:, :, :, 1], 0, atol=1e-7)
