@@ -1,0 +1,68 @@
+"""Streaming inference tests: ring buffer semantics + end-to-end
+recognition for dense and SGN models."""
+
+import jax
+import numpy as np
+import pytest
+
+from agcn_tpu.graph import build_adjacency
+from agcn_tpu.infer import ActionRecognition, StreamBuffer, filter_logits
+from agcn_tpu.models import AGCN, SGN
+
+
+def test_stream_buffer_append_and_shift():
+    buf = StreamBuffer(num_joint=5, max_seq_length=4, max_person=3)
+    for i in range(6):
+        frame = np.full((2, 1, 5, 3), i + 1, dtype=np.float32)
+        buf.append(frame)
+    # after overflow, buffer holds the last 4 frames (3, 4, 5, 6)
+    assert buf.data[0, 0, 0, 0] == 3.0
+    assert buf.data[0, -1, 0, 0] == 6.0
+    # person 2 never fed -> zero
+    assert buf.data[2].sum() == 0.0
+
+
+def test_stream_buffer_moving_avg():
+    buf = StreamBuffer(num_joint=2, max_seq_length=8, max_person=1,
+                       moving_avg=2)
+    buf.append(np.full((1, 1, 2, 3), 1.0, dtype=np.float32))
+    buf.append(np.full((1, 1, 2, 3), 3.0, dtype=np.float32))
+    assert buf.data[0, 1, 0, 0] == 2.0  # smoothed
+
+
+def test_filter_logits():
+    logits = np.array([1.0, 5.0, 3.0])
+    out = filter_logits(logits, [0, 2])
+    assert out.argmax() == 2
+
+
+def test_dense_recognizer_end_to_end():
+    adj = build_adjacency("ntu_rgb_d")
+    model = AGCN(num_class=7, adj=adj)
+    x0 = np.zeros((1, 3, 32, 25, 2), np.float32)
+    variables = model.init(jax.random.PRNGKey(0), x0, train=False)
+    rec = ActionRecognition(model, variables, kind="dense",
+                            max_seq_length=32)
+    rng = np.random.default_rng(0)
+    for _ in range(10):
+        rec.append_frame(rng.standard_normal((2, 1, 25, 3)).astype(
+            np.float32))
+    label, probs = rec.predict()
+    assert 0 <= label < 7
+    np.testing.assert_allclose(probs.sum(), 1.0, atol=1e-5)
+
+
+def test_sgn_recognizer_multi_crop():
+    model = SGN(num_class=5, num_segment=20)
+    x0 = np.zeros((1, 20, 75), np.float32)
+    variables = model.init(jax.random.PRNGKey(0), x0, train=False)
+    rec = ActionRecognition(model, variables, kind="sgn", multi_test=3,
+                            max_seq_length=64, normalize=False,
+                            sgn_dataloader_args={"seg": 20})
+    rng = np.random.default_rng(0)
+    for _ in range(30):
+        rec.append_frame(rng.standard_normal((2, 1, 25, 3)).astype(
+            np.float32))
+    label, probs = rec.predict()
+    assert 0 <= label < 5
+    assert rec.last_latency_ms > 0
