@@ -254,7 +254,15 @@ class Trainer:
         t0 = time.time()
         seen = 0
         last_metrics = {}
+        # profiler: trace a window of early steps into work_dir/trace
+        # (reference torch.profiler schedule wait=1 warmup=1 active=5,
+        # processor.py:189-197)
+        profile_steps = range(2, 8) if (cfg.profiler and epoch
+                                        == cfg.start_epoch) else range(0)
         for i, (x, y, idx) in enumerate(loader):
+            if i == (profile_steps.start if profile_steps else -1):
+                jax.profiler.start_trace(
+                    os.path.join(self.work_dir, "trace"))
             if self.is_sgn:
                 xb = x  # (B, seg, VC)
             else:
@@ -268,6 +276,11 @@ class Trainer:
                        and epoch <= cfg.only_train_epoch
                        else self._train_step)
             self.state, metrics = step_fn(self.state, xb, yb, epoch_rng)
+            if profile_steps and i == profile_steps.stop - 1:
+                jax.block_until_ready(metrics["loss"])
+                jax.profiler.stop_trace()
+                self.print_log(f"profiler trace written to "
+                               f"{os.path.join(self.work_dir, 'trace')}")
             seen += len(y)
             if (i + 1) % cfg.log_interval == 0:
                 m = {k: float(v) for k, v in metrics.items()}
@@ -276,6 +289,11 @@ class Trainer:
                     f"epoch {epoch} step {i + 1}/{len(loader)} "
                     f"loss {m['loss']:.4f} acc {m['acc']:.3f} lr {lr:.5f}")
             last_metrics = metrics
+        if profile_steps and len(loader) < profile_steps.stop:
+            try:
+                jax.profiler.stop_trace()
+            except RuntimeError:
+                pass
         dt = time.time() - t0
         m = {k: float(v) for k, v in last_metrics.items()} if last_metrics \
             else {}

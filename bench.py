@@ -30,6 +30,10 @@ BATCH, C, T, V, M, NUM_CLASS = 64, 3, 300, 25, 2, 60
 
 def bench_ours(steps: int = 20) -> float:
     import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/jax_comp_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
     import numpy as np
 
