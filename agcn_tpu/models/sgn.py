@@ -507,7 +507,7 @@ class SGN(nn.Module):
             raise NotImplementedError("spatial_maxpool mode")
 
         # temporal branches ---------------------------------------------
-        outs = []
+        outs: List[jnp.ndarray] = []
         shared_names = {}
         for i, kernels in enumerate(self.multi_t):
             for j, k in enumerate(kernels):
@@ -541,6 +541,11 @@ class SGN(nn.Module):
             y = y + cls_emb
 
         y = y.reshape(b, -1)
+        # latent z for the InfoGCN-style MMD loss (SGN v12,
+        # reference model/readme.yaml:380-417) and the branch outputs for
+        # the cosine feature-similarity loss (processor.py:583-595)
+        aux = {"g": g_list, "z": y,
+               "branch_outputs": [o.reshape(b, -1) for o in outs]}
         if self.dropout > 0.0:
             y = nn.Dropout(self.dropout, deterministic=not train,
                            name="fc_drop")(y)
@@ -548,4 +553,4 @@ class SGN(nn.Module):
                           kernel_init=init.torch_default_kernel,
                           bias_init=init.torch_default_bias(y.shape[-1]),
                           name="fc")(y)
-        return logits, {"g": g_list}
+        return logits, aux

@@ -196,6 +196,64 @@ class Trainer:
         if self.n_data_shards > 1:
             self.state = replicate_state(self.mesh, self.state)
 
+    def _build_aux_loss(self):
+        """Auxiliary losses: InfoGCN-style MMD on the latent z
+        (reference processor.py:563-581, loss scaled by mmd_lambda2 on
+        the class-mean MSE and mmd_lambda1 on ||mean z||) and cosine
+        feature-similarity between temporal-branch outputs
+        (processor.py:583-595)."""
+        cfg = self.cfg
+        use_mmd = cfg.mmd_lambda1 > 0 or cfg.mmd_lambda2 > 0
+        use_fsim = cfg.fsim_mode > 0
+        if not (use_mmd or use_fsim):
+            return None
+        num_class = cfg.model_args.get("num_class", 60)
+        z_prior = None
+        if use_mmd:
+            import jax.random as jrandom
+
+            # fixed random class prototypes (InfoGCN's z_prior role)
+            key = jrandom.PRNGKey(cfg.seed)
+            dim = 512  # SGN c4 head width
+            z_prior = jrandom.normal(key, (num_class, dim))
+            z_prior = z_prior / jnp.linalg.norm(z_prior, axis=-1,
+                                                keepdims=True)
+
+        def aux_loss(aux, y):
+            from agcn_tpu.train import losses as L2
+
+            total = 0.0
+            metrics = {}
+            if use_mmd and aux is not None and "z" in aux:
+                z = aux["z"]
+                prior = z_prior
+                if prior.shape[-1] != z.shape[-1]:
+                    reps = -(-z.shape[-1] // prior.shape[-1])
+                    prior = jnp.tile(prior, (1, reps))[:, : z.shape[-1]]
+                mmd, l2z = L2.mmd_loss(z, prior, y, num_class)
+                total = total + cfg.mmd_lambda2 * mmd \
+                    + cfg.mmd_lambda1 * l2z
+                metrics.update(mmd=mmd, l2_z_mean=l2z)
+            if use_fsim and aux is not None \
+                    and len(aux.get("branch_outputs", [])) > 1:
+                outs = aux["branch_outputs"]
+                alphas = cfg.fsim_alpha if isinstance(
+                    cfg.fsim_alpha, (list, tuple)) else [cfg.fsim_alpha]
+                idx = 0
+                fsim_total = 0.0
+                for i in range(len(outs)):
+                    for j in range(i + 1, len(outs)):
+                        a = alphas[min(idx, len(alphas) - 1)] \
+                            if alphas else 1.0
+                        fsim_total = fsim_total + a * L2.cosine_loss(
+                            outs[i], outs[j], mode=cfg.fsim_mode)
+                        idx += 1
+                total = total + fsim_total
+                metrics.update(fsim=fsim_total)
+            return total, metrics
+
+        return aux_loss
+
     def _build_steps(self):
         cfg = self.cfg
         loss_fn = L.build_loss(cfg.loss, cfg.model_args.get("num_class", 60),
@@ -203,9 +261,11 @@ class Trainer:
                                alpha=cfg.fl_alpha, gamma=cfg.fl_gamma)
         sam_rho = cfg.sam_rho if cfg.optimizer.upper().startswith("SAM") \
             else 0.0
-        base_step = make_train_step(loss_fn, sam_rho=sam_rho)
+        aux_loss_fn = self._build_aux_loss()
+        base_step = make_train_step(loss_fn, sam_rho=sam_rho,
+                                    aux_loss_fn=aux_loss_fn)
         frozen_step = make_train_step(
-            loss_fn, sam_rho=sam_rho,
+            loss_fn, sam_rho=sam_rho, aux_loss_fn=aux_loss_fn,
             grad_transform=lambda g: _tree_zero_by_name(g, "PA"))
         self._loss_fn = loss_fn
 
