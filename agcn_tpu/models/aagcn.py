@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from typing import Any, Dict, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
@@ -91,24 +92,54 @@ class AdaptiveGCN(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         num_subset = self.adj.shape[0]
+        in_c = x.shape[-1]
+        inter_c = self.inter_channels
         pa = self.param("PA",
                         lambda k, s: jnp.asarray(self.adj, jnp.float32),
                         self.adj.shape)
         alpha = self.param("alpha", nn.initializers.zeros, (1,))
-        y = None
-        for k in range(num_subset):
-            theta = PointwiseConv(self.inter_channels, dtype=self.dtype,
-                                  name=f"conv_a{k}")(x)
-            phi = PointwiseConv(self.inter_channels, dtype=self.dtype,
-                                name=f"conv_b{k}")(x)
-            att = gcn_ops.embedding_attention(theta, phi)  # (B, V, V)
-            a1 = pa[k][None] + att * alpha
-            agg = gcn_ops.aggregate(x, a1)
-            z = PointwiseConv(self.out_channels,
-                              kernel_init=init.conv_branch_init(num_subset),
-                              dtype=self.dtype, name=f"conv_d{k}")(agg)
-            y = z if y is None else y + z
-        return y
+
+        # per-subset params applied as wide fused GEMMs (see
+        # models/agcn.py UnitGCN) — numerically identical to the
+        # reference's per-subset loop (aagcn.py:164-177)
+        k_a = [self.param(f"conv_a{k}_kernel", init.kaiming_normal_fan_out,
+                          (in_c, inter_c)) for k in range(num_subset)]
+        b_a = [self.param(f"conv_a{k}_bias", nn.initializers.zeros,
+                          (inter_c,)) for k in range(num_subset)]
+        k_b = [self.param(f"conv_b{k}_kernel", init.kaiming_normal_fan_out,
+                          (in_c, inter_c)) for k in range(num_subset)]
+        b_b = [self.param(f"conv_b{k}_bias", nn.initializers.zeros,
+                          (inter_c,)) for k in range(num_subset)]
+        k_d = [self.param(f"conv_d{k}_kernel",
+                          init.conv_branch_init(num_subset),
+                          (in_c, self.out_channels))
+               for k in range(num_subset)]
+        b_d = [self.param(f"conv_d{k}_bias", nn.initializers.zeros,
+                          (self.out_channels,)) for k in range(num_subset)]
+
+        compute = x if self.dtype is None else x.astype(self.dtype)
+        emb_w = jnp.concatenate(k_a + k_b, axis=-1)
+        emb_b = jnp.concatenate(b_a + b_b)
+        if self.dtype is not None:
+            emb_w = emb_w.astype(self.dtype)
+            emb_b = emb_b.astype(self.dtype)
+        emb = compute @ emb_w + emb_b
+        b, t, v, _ = emb.shape
+        emb = emb.reshape(b, t, v, 2, num_subset, inter_c)
+        theta, phi = emb[..., 0, :, :], emb[..., 1, :, :]
+        logits = jnp.einsum("btvkc,btwkc->bkvw", theta, phi) \
+            / (inter_c * t)
+        att = jax.nn.softmax(logits, axis=-2)  # (B, K, V, V)
+        a1 = pa[None].astype(att.dtype) + att * alpha.astype(att.dtype)
+
+        agg = jnp.einsum("btvc,bkvw->btwkc", compute, a1)
+        agg = agg.reshape(b, t, v, num_subset * in_c)
+        out_w = jnp.concatenate(k_d, axis=0)
+        out_b = sum(b_d)
+        if self.dtype is not None:
+            out_w = out_w.astype(self.dtype)
+            out_b = out_b.astype(self.dtype)
+        return agg @ out_w + out_b
 
 
 class NonAdaptiveGCN(nn.Module):

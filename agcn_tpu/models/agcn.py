@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from typing import Any, Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
@@ -51,22 +52,53 @@ class UnitGCN(nn.Module):
         pa = self.param("PA", init.constant(1e-6), self.adj.shape)
         adj = jnp.asarray(self.adj) + pa  # (K, V, V)
 
-        y = None
-        for k in range(num_subset):
-            theta = PointwiseConv(inter_c, dtype=self.dtype,
-                                  name=f"conv_a{k}")(x)
-            phi = PointwiseConv(inter_c, dtype=self.dtype,
-                                name=f"conv_b{k}")(x)
-            att = gcn_ops.embedding_attention(theta, phi)  # (B, V, V)
-            a1 = att + adj[k][None]
-            agg = gcn_ops.aggregate(x, a1)
-            z = PointwiseConv(
-                self.out_channels,
-                kernel_init=init.conv_branch_init(num_subset),
-                dtype=self.dtype,
-                name=f"conv_d{k}",
-            )(agg)
-            y = z if y is None else y + z
+        # The K subsets' theta/phi/output projections are separate
+        # parameters (reference layout, agcn.py:63-69) but are applied as
+        # single wide matmuls: one (C, 2*K*Ce) embedding GEMM, one
+        # K-batched attention einsum, one (K*C, Co) output GEMM —
+        # numerically identical to the per-subset loop with far better
+        # MXU utilization than K tiny GEMMs.
+        k_a = [self.param(f"conv_a{k}_kernel", init.kaiming_normal_fan_out,
+                          (in_c, inter_c)) for k in range(num_subset)]
+        b_a = [self.param(f"conv_a{k}_bias", nn.initializers.zeros,
+                          (inter_c,)) for k in range(num_subset)]
+        k_b = [self.param(f"conv_b{k}_kernel", init.kaiming_normal_fan_out,
+                          (in_c, inter_c)) for k in range(num_subset)]
+        b_b = [self.param(f"conv_b{k}_bias", nn.initializers.zeros,
+                          (inter_c,)) for k in range(num_subset)]
+        k_d = [self.param(f"conv_d{k}_kernel",
+                          init.conv_branch_init(num_subset),
+                          (in_c, self.out_channels))
+               for k in range(num_subset)]
+        b_d = [self.param(f"conv_d{k}_bias", nn.initializers.zeros,
+                          (self.out_channels,)) for k in range(num_subset)]
+
+        compute = x if self.dtype is None else x.astype(self.dtype)
+        emb_w = jnp.concatenate(k_a + k_b, axis=-1)
+        emb_b = jnp.concatenate(b_a + b_b)
+        if self.dtype is not None:
+            emb_w = emb_w.astype(self.dtype)
+            emb_b = emb_b.astype(self.dtype)
+        emb = compute @ emb_w + emb_b  # (B, T, V, 2*K*Ce)
+        b, t, v, _ = emb.shape
+        emb = emb.reshape(b, t, v, 2, num_subset, inter_c)
+        theta, phi = emb[..., 0, :, :], emb[..., 1, :, :]
+
+        # per-subset attention: softmax over the source joint axis
+        # (agcn.py:99-101; divisor Ce * T)
+        logits = jnp.einsum("btvkc,btwkc->bkvw", theta, phi) \
+            / (inter_c * t)
+        att = jax.nn.softmax(logits, axis=-2)  # (B, K, V, V)
+        a1 = att + adj[None].astype(att.dtype)
+
+        agg = jnp.einsum("btvc,bkvw->btwkc", compute, a1)
+        agg = agg.reshape(b, t, v, num_subset * in_c)
+        out_w = jnp.concatenate(k_d, axis=0)  # (K*C, Co)
+        out_b = sum(b_d)
+        if self.dtype is not None:
+            out_w = out_w.astype(self.dtype)
+            out_b = out_b.astype(self.dtype)
+        y = agg @ out_w + out_b
 
         y = BatchNorm(scale_init_value=1e-6, axis_name=self.sync_axis,
                       name="bn")(y, train)

@@ -90,18 +90,16 @@ def aagcn_variables_from_torch(sd: Mapping[str, Any],
         # graph conv ----------------------------------------------------
         for k in range(num_subset):
             if adaptive:
-                _set(tree["params"], g + ("agcn", f"conv_d{k}", "conv",
-                                          "kernel"),
+                _set(tree["params"], g + ("agcn", f"conv_d{k}_kernel"),
                      pointwise_kernel(sd[f"{p}.conv_d.{k}.weight"]))
-                _set(tree["params"], g + ("agcn", f"conv_d{k}", "conv",
-                                          "bias"),
+                _set(tree["params"], g + ("agcn", f"conv_d{k}_bias"),
                      sd[f"{p}.conv_d.{k}.bias"])
                 for role in ("a", "b"):
                     _set(tree["params"],
-                         g + ("agcn", f"conv_{role}{k}", "conv", "kernel"),
+                         g + ("agcn", f"conv_{role}{k}_kernel"),
                          pointwise_kernel(sd[f"{p}.agcn.conv_{role}.{k}.weight"]))
                     _set(tree["params"],
-                         g + ("agcn", f"conv_{role}{k}", "conv", "bias"),
+                         g + ("agcn", f"conv_{role}{k}_bias"),
                          sd[f"{p}.agcn.conv_{role}.{k}.bias"])
             else:
                 _set(tree["params"], g + ("agcn", f"conv_d{k}_kernel"),
@@ -274,11 +272,11 @@ def agcn_variables_from_torch(sd: Mapping[str, Any],
                 t_prefix = f"{block}.gcn1.conv_{role}.{k}"
                 if key == f"{t_prefix}.weight":
                     _set(tree["params"],
-                         gcn + (f"conv_{role}{k}", "conv", "kernel"),
+                         gcn + (f"conv_{role}{k}_kernel",),
                          pointwise_kernel(sd[key]))
                 elif key == f"{t_prefix}.bias":
                     _set(tree["params"],
-                         gcn + (f"conv_{role}{k}", "conv", "bias"), sd[key])
+                         gcn + (f"conv_{role}{k}_bias",), sd[key])
 
     for block in {k.split(".")[0] for k in sd if k.startswith("l")}:
         if f"{block}.gcn1.bn.weight" in sd:
