@@ -366,6 +366,83 @@ class TemporalBranchMLP(nn.Module):
         return z
 
 
+class TemporalBranch(nn.Module):
+    """Full temporal branch dispatcher (blocks/temporal.py:274-397):
+    optional ASPP, then t_mode 0 (skip) / 1-2 (conv MLP) / 3 (transformer)
+    / 4 (series-decomposition x3 MLPs) / 5 (multi-scale avg-pool MLPs).
+    Returns a LIST of outputs (modes 4/5 emit several)."""
+
+    out_channels: int
+    kernel_size: int = 3
+    t_mode: int = 1
+    dropout: float = 0.0
+    prenorm: bool = False
+    use_bias: bool = True
+    aspp_rates: Optional[Sequence[int]] = None
+    mha_kwargs: Optional[dict] = None
+    decomp_kernel_size: int = 3
+    pool_kernel_sizes: Sequence[int] = (3, 5, 7, 9)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from agcn_tpu.ops.blocks import ASPP, SeriesDecomposition
+        from agcn_tpu.ops.attention import TransformerEncoder
+
+        if self.aspp_rates:
+            x = ASPP(x.shape[-1], dilations=tuple(self.aspp_rates),
+                     use_bias=bool(self.use_bias), name="aspp")(x, train)
+        if self.t_mode == 0:
+            return [x]
+        if self.t_mode in (1, 2):
+            return [TemporalBranchMLP(
+                self.out_channels, self.kernel_size, self.t_mode,
+                self.dropout, self.prenorm, self.use_bias,
+                name="cnn")(x, train)]
+        if self.t_mode == 3:
+            kw = dict(self.mha_kwargs or {})
+            b, t, v, c = x.shape
+            y = x.reshape(b, t, v * c)
+            num_layers = kw.get("num_layers", 1)
+            nhead = kw.get("nhead", 1)
+            nhead = nhead[0] if isinstance(nhead, (list, tuple)) else nhead
+            dff = kw.get("dim_feedforward", 256)
+            dff = dff[0] if isinstance(dff, (list, tuple)) else dff
+            y, _ = TransformerEncoder(
+                num_layers=num_layers, num_heads=nhead,
+                dim_feedforward=dff, dropout=kw.get("dropout", 0.1),
+                activation=kw.get("activation", "relu"),
+                pos_enc=kw.get("pos_enc"), max_len=t,
+                name="mha")(y, train)
+            return [y.reshape(b, t, 1, -1)]
+        if self.t_mode == 4:
+            seasonal, trend = SeriesDecomposition(
+                self.decomp_kernel_size)(x)
+            outs = []
+            for name, part in (("raw", x), ("season", seasonal),
+                               ("trend", trend)):
+                outs.append(TemporalBranchMLP(
+                    self.out_channels, self.kernel_size, 2, self.dropout,
+                    self.prenorm, self.use_bias,
+                    name=f"cnn_{name}")(part, train))
+            return outs
+        if self.t_mode == 5:
+            outs = []
+            for k in self.pool_kernel_sizes:
+                pad = (k - 1) // 2
+                padded = jnp.concatenate(
+                    [jnp.repeat(x[:, :1], pad, axis=1), x,
+                     jnp.repeat(x[:, -1:], k - 1 - pad, axis=1)], axis=1)
+                cs = jnp.cumsum(padded, axis=1)
+                cs = jnp.concatenate([jnp.zeros_like(cs[:, :1]), cs],
+                                     axis=1)
+                pooled = (cs[:, k:] - cs[:, :-k]) / k
+                outs.append(TemporalBranchMLP(
+                    self.out_channels, 1, 2, self.dropout, self.prenorm,
+                    self.use_bias, name=f"cnn_p{k}")(pooled, train))
+            return outs
+        raise NotImplementedError(f"t_mode {self.t_mode}")
+
+
 class SGN(nn.Module):
     """Full SGN classifier.
 
@@ -404,11 +481,21 @@ class SGN(nn.Module):
     sgcn_gt_mode: int = 1
     sgcn_gt_act: int = 1
 
+    gcn_fpn: int = -1       # -1 none | 0 parallel | 1 proj+sum | 7 (k=3)
+    #                         | 8 BiFPN
+    gcn_fpn_kernel: int = 1
+    bifpn_dim: int = 256
+    bifpn_layers: int = 1
+
     spatial_maxpool: int = 1
     temporal_maxpool: int = 1
     multi_t: Sequence[Sequence[int]] = ((), (), (3,))
     multi_t_shared: int = 0  # 0 none, 2 inter-layer share
     t_mode: int = 1
+    t_mha_kwargs: Optional[dict] = None
+    aspp_rates: Optional[Sequence[int]] = None
+    decomp_kernel_size: int = 3
+    pool_kernel_sizes: Sequence[int] = (3, 5, 7, 9)
 
     @property
     def channels(self):
@@ -461,8 +548,12 @@ class SGN(nn.Module):
 
         gcn_in_ch = feat.shape[-1]
         sgcn_dims = tuple(self.sgcn_dims or (c2, c3, c3))
-        tem_out_ch = (gcn_in_ch if self.semantic_frame_location == 1
-                      else sgcn_dims[-1])
+        if self.semantic_frame_location == 1:
+            tem_out_ch = gcn_in_ch
+        elif self.gcn_fpn == 8:
+            tem_out_ch = self.bifpn_dim
+        else:
+            tem_out_ch = sgcn_dims[-1]
         tem_emb = None
         if self.semantic_frame > 0:
             frame_tab = jnp.eye(t)[None, :, None, :]  # (1,T,1,T)
@@ -492,9 +583,25 @@ class SGN(nn.Module):
             use_bias=self.use_bias,
             name="sgcn")(feat, train)
 
-        # default (no FPN): only the last level feeds the temporal module
-        feats: List[Optional[jnp.ndarray]] = [None] * (len(x_list) - 1) \
-            + [x_list[-1]]
+        # GCN-FPN: which levels feed the temporal module and how they are
+        # merged (reference sgn_v14.py:862-929, modes doc :58-71)
+        if self.gcn_fpn == 0:
+            feats: List[Optional[jnp.ndarray]] = list(x_list)
+        elif self.gcn_fpn in (1, 7):
+            k = 3 if self.gcn_fpn == 7 else self.gcn_fpn_kernel
+            proj = [TConv(sgcn_dims[-1], kernel_size=k, padding=k // 2,
+                          use_bias=self.use_bias,
+                          name=f"fpn_proj{i + 1}")(xl)
+                    for i, xl in enumerate(x_list)]
+            feats = [sum(proj[i:]) for i in range(len(proj))]
+        elif self.gcn_fpn == 8:
+            from agcn_tpu.ops.blocks import BiFPN
+
+            feats = BiFPN(self.bifpn_dim, self.bifpn_layers,
+                          name="bifpn")(list(x_list), train)
+        else:
+            # default: only the last level feeds the temporal module
+            feats = [None] * (len(x_list) - 1) + [x_list[-1]]
 
         if tem_emb is not None and self.semantic_frame_location == 0:
             feats = [f + tem_emb if f is not None else None for f in feats]
@@ -509,22 +616,32 @@ class SGN(nn.Module):
         # temporal branches ---------------------------------------------
         outs: List[jnp.ndarray] = []
         shared_names = {}
+        shared_branches = {}
         for i, kernels in enumerate(self.multi_t):
             for j, k in enumerate(kernels):
                 if feats[i] is None:
                     continue
                 name = f"tem{i + 1}_{j + 1}_k{k}"
                 if self.multi_t_shared == 2:
-                    key = (j, k)
-                    name = shared_names.setdefault(key, name)
-                branch = TemporalBranchMLP(
-                    c4, kernel_size=k, t_mode=self.t_mode,
-                    dropout=self.dropout2d, prenorm=self.sgcn_prenorm,
-                    use_bias=self.use_bias, name=name)
-                if self.t_mode == 0:
-                    outs.append(feats[i])
+                    # inter-layer sharing: one module instance reused
+                    # (reference multi_t_shared==2, sgn_v14.py:614-636)
+                    name = shared_names.get((j, k), name)
+                if name in shared_names.values():
+                    branch = shared_branches[name]
                 else:
-                    outs.append(branch(feats[i], train))
+                    branch = TemporalBranch(
+                        c4, kernel_size=k, t_mode=self.t_mode,
+                        dropout=self.dropout2d, prenorm=self.sgcn_prenorm,
+                        use_bias=self.use_bias,
+                        aspp_rates=self.aspp_rates,
+                        mha_kwargs=self.t_mha_kwargs,
+                        decomp_kernel_size=self.decomp_kernel_size,
+                        pool_kernel_sizes=tuple(self.pool_kernel_sizes),
+                        name=name)
+                    if self.multi_t_shared == 2:
+                        shared_names[(j, k)] = name
+                        shared_branches[name] = branch
+                outs.extend(branch(feats[i], train))
         y = jnp.mean(jnp.stack(outs, 0), 0) if len(outs) > 1 else outs[0]
 
         # temporal pooling + classifier ---------------------------------

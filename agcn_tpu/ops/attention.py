@@ -1,0 +1,203 @@
+"""Attention layers: multi-head attention, transformer encoder blocks,
+positional encodings.
+
+Parity targets: reference model/layers/attention/multiheadattention.py
+(forked nn.MultiheadAttention returning per-head weights, optional
+relative position bias and alpha-scaling), model/layers/embedding/
+{pos_embedding,rel_embedding}.py, and the TransformerEncoderLayerExt used
+by the AAGCN v29-v37 and SGN v15 variants (torch
+nn.TransformerEncoderLayer semantics with pre-LN option).
+
+TPU notes: heads ride a leading batch-like axis so QK^T / AV are large
+batched MXU matmuls; softmax and bias adds fuse into the matmul epilogues
+under XLA.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from agcn_tpu.ops import initializers as init
+
+
+class PositionalEncoding(nn.Module):
+    """Learned (BERT-style) positional embedding
+    (reference pos_embedding.py)."""
+
+    max_len: int = 600
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        d = x.shape[-1]
+        table = self.param("embedding", nn.initializers.normal(0.02),
+                           (self.max_len, d))
+        return x + table[: x.shape[1]][None]
+
+
+class CosSinPositionalEncoding(nn.Module):
+    """Fixed sinusoidal positional encoding (reference pos_embedding.py)."""
+
+    max_len: int = 600
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        d = x.shape[-1]
+        pos = np.arange(self.max_len)[:, None]
+        div = np.exp(np.arange(0, d, 2) * (-np.log(10000.0) / d))
+        table = np.zeros((self.max_len, d), np.float32)
+        table[:, 0::2] = np.sin(pos * div)
+        table[:, 1::2] = np.cos(pos * div[: (d + 1) // 2][:d // 2]) \
+            if d % 2 else np.cos(pos * div)
+        return x + jnp.asarray(table[: x.shape[1]])[None]
+
+
+class RelPosEmb1D(nn.Module):
+    """1D relative position bias via the skew trick
+    (reference rel_embedding.py)."""
+
+    max_len: int
+    dim_head: int
+
+    @nn.compact
+    def __call__(self, q: jnp.ndarray) -> jnp.ndarray:
+        """q: (B, H, T, Dh) -> (B, H, T, T) relative logits."""
+        t = q.shape[2]
+        scale = self.dim_head ** -0.5
+        emb = self.param("rel_pos_emb", nn.initializers.normal(0.02),
+                         (2 * self.max_len - 1, self.dim_head))
+        start = self.max_len - t
+        rel = jnp.einsum("bhtd,rd->bhtr", q * scale,
+                         emb[start:start + 2 * t - 1])
+        # skew: (T, 2T-1) -> (T, T) absolute
+        b, h = rel.shape[:2]
+        pad = jnp.pad(rel, ((0, 0), (0, 0), (0, 0), (0, 1)))
+        flat = pad.reshape(b, h, t * 2 * t)
+        flat = jnp.pad(flat, ((0, 0), (0, 0), (0, t - 1)))
+        final = flat.reshape(b, h, t + 1, 2 * t - 1)
+        return final[:, :, :t, t - 1:]
+
+
+class MultiheadAttention(nn.Module):
+    """MHA returning per-head attention weights.
+
+    torch nn.MultiheadAttention parameterization (packed in_proj,
+    out_proj) so reference checkpoints transplant directly; optional
+    relative position bias (reference multiheadattention.py:19-60).
+    """
+
+    num_heads: int
+    dim: Optional[int] = None
+    use_bias: bool = True
+    rel_pos_len: int = 0
+
+    @nn.compact
+    def __call__(self, query, key=None, value=None,
+                 mask: Optional[jnp.ndarray] = None
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        key = query if key is None else key
+        value = key if value is None else value
+        d = self.dim or query.shape[-1]
+        h = self.num_heads
+        dh = d // h
+        assert dh * h == d
+
+        in_w = self.param("in_proj_kernel", init.xavier_normal, (query.shape[-1], 3 * d))
+        in_b = self.param("in_proj_bias", nn.initializers.zeros, (3 * d,)) \
+            if self.use_bias else 0.0
+
+        def proj(x, offset):
+            w = in_w[:, offset * d:(offset + 1) * d]
+            b = in_b[offset * d:(offset + 1) * d] if self.use_bias else 0.0
+            y = x @ w + b
+            bsz, t, _ = y.shape
+            return y.reshape(bsz, t, self.num_heads, dh).transpose(0, 2, 1, 3)
+
+        q = proj(query, 0)
+        k = proj(key, 1)
+        v = proj(value, 2)
+
+        logits = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(dh)
+        if self.rel_pos_len:
+            logits = logits + RelPosEmb1D(self.rel_pos_len, dh,
+                                          name="rel_pos")(q)
+        if mask is not None:
+            logits = jnp.where(mask, logits, -1e9)
+        attn = jax.nn.softmax(logits, axis=-1)
+        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+        bsz, _, t, _ = out.shape
+        out = out.transpose(0, 2, 1, 3).reshape(bsz, t, d)
+        out = nn.Dense(d, use_bias=self.use_bias,
+                       kernel_init=init.xavier_normal,
+                       name="out_proj")(out)
+        return out, attn
+
+
+class TransformerEncoderLayer(nn.Module):
+    """torch nn.TransformerEncoderLayer semantics with pre-LN option
+    (the AAGCN variants' TransformerEncoderLayerExt)."""
+
+    num_heads: int
+    dim_feedforward: int
+    dropout: float = 0.1
+    activation: str = "relu"
+    pre_norm: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        act = nn.relu if self.activation == "relu" else nn.gelu
+
+        def drop(y):
+            if self.dropout > 0.0:
+                return nn.Dropout(self.dropout,
+                                  deterministic=not train)(y)
+            return y
+
+        attn_in = nn.LayerNorm(name="norm1")(x) if self.pre_norm else x
+        attn_out, attn = MultiheadAttention(
+            self.num_heads, name="self_attn")(attn_in)
+        x = x + drop(attn_out)
+        if not self.pre_norm:
+            x = nn.LayerNorm(name="norm1")(x)
+
+        ff_in = nn.LayerNorm(name="norm2")(x) if self.pre_norm else x
+        y = nn.Dense(self.dim_feedforward, name="linear1")(ff_in)
+        y = drop(act(y))
+        y = nn.Dense(x.shape[-1], name="linear2")(y)
+        x = x + drop(y)
+        if not self.pre_norm:
+            x = nn.LayerNorm(name="norm2")(x)
+        return x, attn
+
+
+class TransformerEncoder(nn.Module):
+    """Stack of encoder layers; returns (output, [per-layer attention])."""
+
+    num_layers: int
+    num_heads: int
+    dim_feedforward: int
+    dropout: float = 0.1
+    activation: str = "relu"
+    pre_norm: bool = False
+    pos_enc: Optional[str] = None  # None | 'abs' | 'cos'
+    max_len: int = 600
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False):
+        if self.pos_enc == "abs":
+            x = PositionalEncoding(self.max_len, name="pos_enc")(x)
+        elif self.pos_enc == "cos":
+            x = CosSinPositionalEncoding(self.max_len, name="pos_enc")(x)
+        attns = []
+        for i in range(self.num_layers):
+            x, a = TransformerEncoderLayer(
+                self.num_heads, self.dim_feedforward, self.dropout,
+                self.activation, self.pre_norm,
+                name=f"layer{i + 1}")(x, train)
+            attns.append(a)
+        return x, attns
