@@ -242,7 +242,7 @@ def sgn_variables_from_torch(sd: Mapping[str, Any]) -> Dict[str, Dict]:
             continue
         i, j, k, layer = m.groups()
         conv_block(f"tem_mlp_{i}_{j}_k{k}.cnn.cnn{layer}",
-                   (f"tem{i}_{j}_k{k}", f"cnn{layer}"))
+                   (f"tem{i}_{j}_k{k}", "cnn", f"cnn{layer}"))
 
     _set(tree["params"], ("fc", "kernel"), linear_kernel(sd["fc.weight"]))
     _set(tree["params"], ("fc", "bias"), sd["fc.bias"])
