@@ -13,8 +13,10 @@ from typing import Any, Callable, Dict
 
 from agcn_tpu.graph import build_adjacency
 from agcn_tpu.models.aagcn import AAGCN
+from agcn_tpu.models.aagcn_transformer import AAGCNTransformer
 from agcn_tpu.models.agcn import AGCN
 from agcn_tpu.models.sgn import SGN
+from agcn_tpu.models.sgn_transformer import SGNTransformer
 
 _ALIASES = {
     "model.agcn.Model": "agcn",
@@ -23,6 +25,10 @@ _ALIASES = {
     "model.architecture.aagcn.aagcn.Model": "aagcn",
     "model.sgn_v14.SGN": "sgn",
     "model.architecture.sgn.sgn_v14.SGN": "sgn",
+    "model.sgn_v15.SGN": "sgn_transformer",
+    "model.architecture.sgn.sgn_v15.SGN": "sgn_transformer",
+    "model.aagcn_v37.Model": "aagcn_transformer",
+    "model.architecture.aagcn.aagcn_v37.Model": "aagcn_transformer",
 }
 
 
@@ -44,6 +50,17 @@ def build_model(name: str, model_args: Dict[str, Any]):
         return _build_agcn(model_args, AGCN)
     if key == "aagcn":
         return _build_agcn(model_args, AAGCN)
+    if key == "aagcn_transformer":
+        return _build_agcn(model_args, AAGCNTransformer)
+    if key == "sgn_transformer":
+        args = dict(model_args)
+        if "bias" in args:
+            args["use_bias"] = bool(args.pop("bias"))
+        for k in ("spatial_mha_kwargs", "temporal_mha_kwargs"):
+            short = k.replace("_kwargs", "")
+            if k in args:
+                args[short] = args.pop(k)
+        return SGNTransformer(**args)
     if key == "sgn":
         args = dict(model_args)
         # normalize reference arg names -> ours
