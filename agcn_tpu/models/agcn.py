@@ -42,6 +42,7 @@ class UnitGCN(nn.Module):
     coff_embedding: int = 4
     sync_axis: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
@@ -91,14 +92,25 @@ class UnitGCN(nn.Module):
         att = jax.nn.softmax(logits, axis=-2)  # (B, K, V, V)
         a1 = att + adj[None].astype(att.dtype)
 
-        agg = jnp.einsum("btvc,bkvw->btwkc", compute, a1)
-        agg = agg.reshape(b, t, v, num_subset * in_c)
-        out_w = jnp.concatenate(k_d, axis=0)  # (K*C, Co)
         out_b = sum(b_d)
-        if self.dtype is not None:
-            out_w = out_w.astype(self.dtype)
-            out_b = out_b.astype(self.dtype)
-        y = agg @ out_w + out_b
+        if self.use_pallas:
+            # fused aggregation+projection kernel: the (B,T,V,K*C)
+            # intermediate never leaves VMEM (ops/pallas/gcn_kernel.py)
+            from agcn_tpu.ops.pallas.gcn_kernel import fused_gcn
+
+            w_stack = jnp.stack(k_d)  # (K, C, Co)
+            if self.dtype is not None:
+                w_stack = w_stack.astype(self.dtype)
+                out_b = out_b.astype(self.dtype)
+            y = fused_gcn(compute, a1, w_stack) + out_b
+        else:
+            agg = jnp.einsum("btvc,bkvw->btwkc", compute, a1)
+            agg = agg.reshape(b, t, v, num_subset * in_c)
+            out_w = jnp.concatenate(k_d, axis=0)  # (K*C, Co)
+            if self.dtype is not None:
+                out_w = out_w.astype(self.dtype)
+                out_b = out_b.astype(self.dtype)
+            y = agg @ out_w + out_b
 
         y = BatchNorm(scale_init_value=1e-6, axis_name=self.sync_axis,
                       name="bn")(y, train)
@@ -139,12 +151,14 @@ class STGCNBlock(nn.Module):
     residual: bool = True
     sync_axis: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
         in_c = x.shape[-1]
         y = UnitGCN(self.out_channels, self.adj, sync_axis=self.sync_axis,
-                    dtype=self.dtype, name="gcn1")(x, train)
+                    dtype=self.dtype, use_pallas=self.use_pallas,
+                    name="gcn1")(x, train)
         y = UnitTCN(self.out_channels, stride=self.stride,
                     sync_axis=self.sync_axis, dtype=self.dtype,
                     name="tcn1")(y, train)
@@ -181,6 +195,7 @@ class AGCN(nn.Module):
     adj: Any = None  # (K, V, V) np.ndarray
     sync_axis: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -199,6 +214,7 @@ class AGCN(nn.Module):
         for i, (ch, stride, residual) in enumerate(BACKBONE_PLAN):
             x = STGCNBlock(ch, self.adj, stride=stride, residual=residual,
                            sync_axis=self.sync_axis, dtype=self.dtype,
+                           use_pallas=self.use_pallas,
                            name=f"l{i + 1}")(x, train)
 
         # global pooling: mean over (T, V), then persons (agcn.py:178-182)
