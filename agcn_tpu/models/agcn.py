@@ -196,6 +196,7 @@ class AGCN(nn.Module):
     sync_axis: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
     use_pallas: bool = False
+    remat: bool = False  # rematerialize blocks: trade FLOPs for HBM
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -211,11 +212,13 @@ class AGCN(nn.Module):
         if self.dtype is not None:
             x = x.astype(self.dtype)
 
+        block_cls = nn.remat(STGCNBlock, static_argnums=(2,)) \
+            if self.remat else STGCNBlock
         for i, (ch, stride, residual) in enumerate(BACKBONE_PLAN):
-            x = STGCNBlock(ch, self.adj, stride=stride, residual=residual,
-                           sync_axis=self.sync_axis, dtype=self.dtype,
-                           use_pallas=self.use_pallas,
-                           name=f"l{i + 1}")(x, train)
+            x = block_cls(ch, self.adj, stride=stride, residual=residual,
+                          sync_axis=self.sync_axis, dtype=self.dtype,
+                          use_pallas=self.use_pallas,
+                          name=f"l{i + 1}")(x, train)
 
         # global pooling: mean over (T, V), then persons (agcn.py:178-182)
         x = x.astype(jnp.float32)

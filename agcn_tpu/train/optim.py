@@ -133,6 +133,50 @@ def build_optimizer(name: str, learning_rate, weight_decay: float = 1e-4,
     raise ValueError(f"Unknown optimizer {name!r}")
 
 
+def llrd_scale_tree(params, factor: float):
+    """Per-leaf LR multipliers for layer-wise LR decay.
+
+    Reference semantics (utils/processor.py:373-393): parameters under
+    transformer layers are grouped by layer index; the deepest layer keeps
+    the base LR and each shallower layer is scaled by `factor` once more;
+    all other parameters keep the base LR.
+    """
+    import re
+
+    flat = jax.tree_util.tree_flatten_with_path(params)
+    ids = set()
+    paths = []
+    for path, _ in flat[0]:
+        names = "/".join(str(getattr(p, "key", p)) for p in path)
+        m = re.search(r"layer(\d+)", names)
+        paths.append((names, int(m.group(1)) if m else None))
+        if m:
+            ids.add(int(m.group(1)))
+    order = sorted(ids, reverse=True)  # deepest first
+    rank = {i: r for r, i in enumerate(order)}
+    mults = [1.0 if lid is None else factor ** rank[lid]
+             for _, lid in paths]
+    return jax.tree_util.tree_unflatten(
+        flat[1], [jnp.asarray(m, jnp.float32) for m in mults])
+
+
+def with_llrd(tx: optax.GradientTransformation, params, factor: float
+              ) -> optax.GradientTransformation:
+    """Wrap an optimizer with per-leaf LLRD update scaling."""
+    scales = llrd_scale_tree(params, factor)
+
+    def init(params_):
+        return tx.init(params_)
+
+    def update(updates, state, params_=None):
+        updates, state = tx.update(updates, state, params_)
+        updates = jax.tree_util.tree_map(lambda u, s: u * s, updates,
+                                         scales)
+        return updates, state
+
+    return optax.GradientTransformation(init, update)
+
+
 def sam_perturbation(grads, params, rho: float = 0.05):
     """First SAM step: eps = rho * g / ||g|| (davda54/sam, used by the
     reference via processor.py:673-687). Returns perturbed params."""

@@ -191,10 +191,40 @@ class Trainer:
         self.tx = O.build_optimizer(
             cfg.optimizer, sched, cfg.weight_decay, cfg.nesterov, cfg.eps,
             grad_clip=cfg.grad_clip)
+        if "LLRD" in cfg.optimizer.upper() and cfg.llrd_factor != 1.0:
+            self.tx = O.with_llrd(self.tx, self.params, cfg.llrd_factor)
         self.state = TrainState.create(self.model.apply, self.params,
                                        self.batch_stats, self.tx)
+        if cfg.weights:
+            self._maybe_resume_opt_state(cfg.weights)
         if self.n_data_shards > 1:
             self.state = replicate_state(self.mesh, self.state)
+
+    def _maybe_resume_opt_state(self, path: str):
+        """Restore optimizer state + step for exact resume when the
+        checkpoint carries them (reference resumes via --start-epoch +
+        --weights, processor.py:233-245)."""
+        from agcn_tpu.train.checkpoint import load_checkpoint
+        import jax.numpy as jnp_
+
+        try:
+            ckpt = load_checkpoint(path)
+        except Exception:
+            return
+        if "opt_leaves" in ckpt:
+            leaves = [ckpt["opt_leaves"][k]
+                      for k in sorted(ckpt["opt_leaves"],
+                                      key=lambda s: int(s))]
+            treedef = jax.tree_util.tree_structure(self.state.opt_state)
+            try:
+                opt_state = jax.tree_util.tree_unflatten(treedef, leaves)
+                step = jnp_.asarray(int(ckpt.get("step", 0)), jnp_.int32)
+                self.state = self.state.replace(opt_state=opt_state,
+                                                step=step)
+                self.print_log(f"optimizer state resumed at step "
+                               f"{int(step)}")
+            except Exception as e:
+                self.print_log(f"opt-state resume skipped: {e}")
 
     def _build_aux_loss(self):
         """Auxiliary losses: InfoGCN-style MMD on the latent z
@@ -406,9 +436,15 @@ class Trainer:
         from agcn_tpu.train.checkpoint import save_checkpoint
         path = os.path.join(self.work_dir, "checkpoints",
                             f"epoch_{epoch + 1}")
+        opt_leaves = {
+            f"{i:04d}": np.asarray(leaf) for i, leaf in enumerate(
+                jax.tree_util.tree_leaves(
+                    jax.device_get(self.state.opt_state)))
+        }
         save_checkpoint(path, {
             "params": jax.device_get(self.state.params),
             "batch_stats": jax.device_get(self.state.batch_stats),
+            "opt_leaves": opt_leaves,
             "step": int(self.state.step),
             "epoch": epoch,
         })

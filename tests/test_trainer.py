@@ -143,3 +143,21 @@ def test_sgn_trainer_end_to_end(tmp_path):
     tr.start()
     assert tr.best_acc >= 0.0
     assert os.path.exists(os.path.join(cfg.work_dir, "metrics.jsonl"))
+
+
+def test_opt_state_resume_and_llrd(tmp_path):
+    from agcn_tpu.train.trainer import Trainer
+
+    dp, lp = _dense_data(tmp_path)
+    cfg = _make_cfg(tmp_path, dp, lp, optimizer="SGD-LLRD",
+                    llrd_factor=0.9)
+    Trainer(cfg).start()
+    ckpt = os.path.join(cfg.work_dir, "checkpoints", "epoch_2")
+
+    cfg2 = _make_cfg(tmp_path, dp, lp, optimizer="SGD-LLRD",
+                     llrd_factor=0.9, weights=ckpt, start_epoch=2,
+                     num_epoch=3)
+    cfg2.work_dir = str(tmp_path / "work_resume")
+    tr = Trainer(cfg2)
+    assert int(tr.state.step) > 0  # optimizer state restored
+    tr.start()
