@@ -66,7 +66,7 @@ def build_model(name: str, model_args: Dict[str, Any]):
         # normalize reference arg names -> ours
         rename = {
             "bias": "use_bias",
-            "sgcn_g_weighted": "sgcn_g_weighted",
+            "t_mha_kwargs": "t_mha_kwargs",
         }
         for ref, ours in rename.items():
             if ref in args:
@@ -80,9 +80,9 @@ def build_model(name: str, model_args: Dict[str, Any]):
                   "sgcn_v_kernel", "gcn_fpn", "gcn_fpn_kernel",
                   "gcn_fpn_shared", "gcn_fpn_output_merge", "bifpn_dim",
                   "bifpn_layers", "multi_t_shared", "t_maxpool_kwargs",
-                  "t_mha_kwargs", "aspp_rates", "semantic_jdiff",
-                  "semantic_joint_smp", "decomp_kernel_size",
-                  "pool_kernel_sizes", "sgcn_attn_mode", "sgcn_gt_g3_idx",
+                  "semantic_jdiff",
+                  "semantic_joint_smp",
+                  "sgcn_attn_mode",
                   "sgcn_gt_out_channels2", "sgcn_ffn_mode"):
             args.pop(k, None)
         if "sgcn_dims" in args and args["sgcn_dims"] is not None:

@@ -222,6 +222,86 @@ class GCNSpatialGT(nn.Module):
         return g12, g34
 
 
+class FrameScalarMLP(nn.Module):
+    """Per-frame scalar gate from flattened joint features.
+
+    Used by GT modes 3/4 (blocks/spatial.py GCNSpatialGT3/GT4): an
+    MLPTemporal with channels [C*V, C, ..., 1] over time producing one
+    scalar per frame.
+    """
+
+    hidden: int
+    depth: int = 2       # g3_idx
+    kernel_size: int = 3
+    use_bias: bool = True
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x_flat, train: bool = False):
+        # x_flat: (B, T, 1, C*V)
+        y = x_flat
+        for i in range(self.depth - 1):
+            y = ConvNormAct(self.hidden, kernel_size=self.kernel_size,
+                            padding=self.kernel_size // 2,
+                            use_bias=self.use_bias, use_norm=True,
+                            dropout=self.dropout if i == 0 else 0.0,
+                            name=f"cnn{i + 1}")(y, train)
+        y = TConv(1, use_bias=self.use_bias,
+                  name=f"cnn{self.depth}")(y)
+        return y[..., 0, 0]  # (B, T)
+
+
+class GCNSpatialGTScalar(nn.Module):
+    """GT modes 2/3/4: per-frame attention scaled (or gated) by a
+    per-frame scalar (blocks/spatial.py GCNSpatialGT2 :325-388, GT3
+    :391-467, GT4 :470-545)."""
+
+    proj_dim: int
+    gt_mode: int = 2
+    use_bias: bool = True
+    proj_shared: bool = False
+    activation: str = "softmax"
+    gt_activation: int = 1
+    g3_idx: int = 2
+
+    @nn.compact
+    def __call__(self, x, g_prior=None, train: bool = False):
+        b, t, v, c = x.shape
+        g1 = TConv(self.proj_dim, use_bias=self.use_bias, name="g1")(x)
+        g2 = g1 if self.proj_shared else TConv(
+            self.proj_dim, use_bias=self.use_bias, name="g2")(x)
+        logits = jnp.einsum("btvc,btwc->btvw", g1, g2)
+        g12 = jax.nn.softmax(logits, axis=-1) \
+            if self.activation == "softmax" else jax.nn.sigmoid(logits)
+
+        flat = x.reshape(b, t, 1, v * c)
+        if self.gt_mode == 2:
+            s = nn.Dense(1, use_bias=self.use_bias,
+                         kernel_init=init.torch_default_kernel,
+                         name="g3")(flat)[..., 0, 0]  # (B, T)
+        else:
+            s = FrameScalarMLP(c, depth=self.g3_idx,
+                               use_bias=self.use_bias,
+                               name="g3")(flat, train)
+        if self.gt_activation == 1:
+            s = jax.nn.softmax(s, axis=-1)
+        else:
+            s = jax.nn.sigmoid(s)
+        s = s[:, :, None, None]  # (B, T, 1, 1)
+
+        if self.gt_mode in (2, 3):
+            g12 = s * g12
+            if g_prior is not None:
+                alpha = self.param("alpha", nn.initializers.zeros, (1,))
+                g12 = (g_prior * alpha + g12) / (alpha + 1)
+            else:
+                self.param("alpha", nn.initializers.zeros, (1,))
+            return g12, s
+        # gt_mode 4: scalar gates the unit input instead
+        self.param("alpha", nn.initializers.zeros, (1,))
+        return g12, s
+
+
 class GCNSpatialUnit(nn.Module):
     """One SGN graph conv: x -> norm(w1(G @ x) + res_alpha * w2(x)) -> relu
     -> dropout (blocks/spatial.py:702-843, attn_mode 0). w1 is zero-init
@@ -232,9 +312,14 @@ class GCNSpatialUnit(nn.Module):
     dropout: float = 0.0
     prenorm: bool = False
     res_alpha: float = 1.0
+    gt_mode: int = 0
 
     @nn.compact
-    def __call__(self, x, g, train: bool = False):
+    def __call__(self, x, g, train: bool = False, g_aux=None):
+        if self.gt_mode == 4 and g_aux is not None:
+            # per-frame scalar gates the unit input
+            # (blocks/spatial.py:791-794)
+            x = g_aux * x
         x2 = frame_aggregate(x, g)  # (B,T,V,C): dest = row of G
         x4 = nn.Dense(self.out_channels, use_bias=self.use_bias,
                       kernel_init=nn.initializers.zeros,
@@ -287,9 +372,10 @@ class GCNSpatialBlock(nn.Module):
     dropout: float = 0.0
     use_bias: bool = True
 
+    g3_idx: int = 2
+
     @nn.compact
     def __call__(self, x, train: bool = False):
-        g_cls = GCNSpatialGT if self.gt_mode == 1 else GCNSpatialG
         g_shared = isinstance(self.g_proj_dim, int)
         g_list: List[Any] = []
         x_list: List[jnp.ndarray] = []
@@ -302,21 +388,29 @@ class GCNSpatialBlock(nn.Module):
                         else self.g_proj_dim[i])
                 g_prior = g_list[-1][0] if (self.g_weighted and g_list) \
                     else None
-                g_list.append(
-                    g_cls(proj, use_bias=self.use_bias,
-                          proj_shared=self.g_proj_shared,
-                          activation=self.g_activation,
-                          gt_activation=self.gt_act,
-                          name=f"g{i + 1}")(x1, g_prior)
-                    if self.gt_mode == 1 else
-                    g_cls(proj, use_bias=self.use_bias,
-                          proj_shared=self.g_proj_shared,
-                          activation=self.g_activation,
-                          name=f"g{i + 1}")(x1, g_prior))
+                common = dict(use_bias=self.use_bias,
+                              proj_shared=self.g_proj_shared,
+                              activation=self.g_activation,
+                              name=f"g{i + 1}")
+                if self.gt_mode == 0:
+                    g_out = GCNSpatialG(proj, **common)(x1, g_prior)
+                elif self.gt_mode == 1:
+                    g_out = GCNSpatialGT(proj, gt_activation=self.gt_act,
+                                         **common)(x1, g_prior)
+                elif self.gt_mode in (2, 3, 4):
+                    g_out = GCNSpatialGTScalar(
+                        proj, gt_mode=self.gt_mode,
+                        gt_activation=self.gt_act, g3_idx=self.g3_idx,
+                        **common)(x1, g_prior, train)
+                else:
+                    raise NotImplementedError(f"gt_mode {self.gt_mode}")
+                g_list.append(g_out)
             z = GCNSpatialUnit(dim, use_bias=self.use_bias,
                                dropout=self.dropout, prenorm=self.prenorm,
                                res_alpha=self.res_alpha,
-                               name=f"gcn{i + 1}")(x1, g_list[-1][0], train)
+                               gt_mode=self.gt_mode,
+                               name=f"gcn{i + 1}")(
+                x1, g_list[-1][0], train, g_aux=g_list[-1][1])
             if self.residual[i] == 1:
                 if x.shape[-1] == dim:
                     z = z + x
@@ -480,6 +574,7 @@ class SGN(nn.Module):
     sgcn_g_res_alpha: float = 1.0
     sgcn_gt_mode: int = 1
     sgcn_gt_act: int = 1
+    sgcn_gt_g3_idx: int = 2
 
     gcn_fpn: int = -1       # -1 none | 0 parallel | 1 proj+sum | 7 (k=3)
     #                         | 8 BiFPN
@@ -575,6 +670,7 @@ class SGN(nn.Module):
             g_weighted=self.sgcn_g_weighted,
             gt_mode=self.sgcn_gt_mode,
             gt_act=self.sgcn_gt_act,
+            g3_idx=self.sgcn_gt_g3_idx,
             res_alpha=self.sgcn_g_res_alpha,
             residual=tuple(self.sgcn_residual),
             prenorm=self.sgcn_prenorm,
