@@ -65,19 +65,21 @@ class BatchNorm(nn.Module):
         red_axes = tuple(range(x.ndim - 1))
 
         if self.splits > 1:
-            # Ghost BN: split the leading batch axis into virtual batches.
+            # Ghost BN: virtual batches with STRIDED membership — split s
+            # holds samples {s, S+s, 2S+s, ...}, matching the reference's
+            # view(-1, C*splits, ...) trick (ghostbatchnorm.py:100-105).
             n = x.shape[0]
             assert n % self.splits == 0, (
                 f"batch {n} not divisible by gbn splits {self.splits}")
-            xs = compute.reshape((self.splits, n // self.splits)
+            xs = compute.reshape((n // self.splits, self.splits)
                                  + x.shape[1:])
-            g_axes = tuple(a + 1 for a in red_axes)
+            g_axes = (0,) + tuple(a + 1 for a in red_axes[1:])
             mean_s = jnp.mean(xs, axis=g_axes)          # (S, C)
             mean2_s = jnp.mean(jnp.square(xs), axis=g_axes)
             var_s = mean2_s - jnp.square(mean_s)
             count = xs.size // (self.splits * xs.shape[-1])
             # normalize each split with its own stats
-            stat_shape = ((self.splits,) + (1,) * (x.ndim - 1)
+            stat_shape = ((1, self.splits) + (1,) * (x.ndim - 2)
                           + (xs.shape[-1],))
             mean_b = mean_s.reshape(stat_shape)
             var_b = var_s.reshape(stat_shape)
