@@ -159,9 +159,14 @@ class Trainer:
 
     def _load_weights(self, path: str, ignore: list):
         """Load an orbax/npz checkpoint; substring-filtered like the
-        reference's --ignore-weights (processor.py:251-259)."""
+        reference's --ignore-weights (processor.py:251-259). `.pt` files
+        are treated as reference PyTorch checkpoints and mapped through
+        agcn_tpu.utils.torch_import."""
         from agcn_tpu.train.checkpoint import load_checkpoint, merge_params
-        ckpt = load_checkpoint(path)
+        if path.endswith(".pt"):
+            ckpt = self._load_torch_checkpoint(path)
+        else:
+            ckpt = load_checkpoint(path)
         self.params = merge_params(self.params, ckpt.get("params", {}),
                                    ignore, log=self.print_log)
         if "batch_stats" in ckpt:
@@ -169,6 +174,24 @@ class Trainer:
                 self.batch_stats, ckpt["batch_stats"], ignore,
                 log=self.print_log)
         self.print_log(f"Loaded weights from {path}")
+
+    def _load_torch_checkpoint(self, path: str):
+        """Map a reference PyTorch checkpoint onto our parameter layout
+        (migration path for existing 2s-AGCN checkpoints)."""
+        import torch
+
+        from agcn_tpu.utils import torch_import as ti
+
+        sd = torch.load(path, map_location="cpu", weights_only=True)
+        if hasattr(sd, "state_dict"):
+            sd = sd.state_dict()
+        name = self.cfg.model.lower()
+        if "sgn" in name:
+            return ti.sgn_variables_from_torch(sd)
+        if "aagcn" in name:
+            return ti.aagcn_variables_from_torch(
+                sd, adaptive=self.cfg.model_args.get("adaptive", True))
+        return ti.agcn_variables_from_torch(sd)
 
     def _load_optimizer(self):
         cfg = self.cfg

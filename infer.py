@@ -1,0 +1,87 @@
+#!/usr/bin/env python
+"""Streaming inference demo CLI.
+
+Parity target: reference infer/inference.py __main__ (:116-238): feed a
+recorded skeleton sequence frame by frame through the ring-buffer
+recognizer and print per-frame predictions and latency.
+
+Usage:
+    python infer.py --config configs/ntu60_xview/train_joint.yaml \
+        --weights work_dir/.../checkpoints/epoch_50 \
+        --input sample.skeleton --timing
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+
+def load_frames(path: str, num_joint: int):
+    """Load an input sequence -> iterator of (M, 1, V, C) frames."""
+    if path.endswith(".skeleton"):
+        from agcn_tpu.data.gen.ntu import read_xyz
+
+        data = read_xyz(path)  # (3, T, V, M)
+        seq = np.transpose(data, (3, 1, 2, 0))  # (M, T, V, C)
+    elif path.endswith(".npy"):
+        arr = np.load(path)
+        if arr.ndim == 5:  # (N, C, T, V, M) -> first sample
+            arr = arr[0]
+        seq = np.transpose(arr, (3, 1, 2, 0))
+    else:
+        raise ValueError(f"unsupported input {path}")
+    for t in range(seq.shape[1]):
+        yield seq[:, t:t + 1]
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", required=True)
+    p.add_argument("--weights", required=True)
+    p.add_argument("--input", required=True)
+    p.add_argument("--interval", type=int, default=10,
+                   help="predict every N frames")
+    p.add_argument("--timing", action="store_true")
+    p.add_argument("--moving-avg", type=int, default=1)
+    p.add_argument("--max-frame", type=int, default=300)
+    p.add_argument("--allowed-classes", type=int, nargs="*", default=None)
+    args = p.parse_args(argv)
+
+    from agcn_tpu.infer import ActionRecognition
+    from agcn_tpu.models.registry import build_model
+    from agcn_tpu.train.checkpoint import load_checkpoint
+    from agcn_tpu.utils.config import load_config
+
+    cfg = load_config(args.config)
+    model = build_model(cfg.model, cfg.model_args)
+    ckpt = load_checkpoint(args.weights)
+    variables = {"params": ckpt["params"],
+                 "batch_stats": ckpt.get("batch_stats", {})}
+
+    kind = "sgn" if "sgn" in cfg.model.lower() else "dense"
+    num_joint = cfg.model_args.get("num_point", 25)
+    rec = ActionRecognition(
+        model, variables, kind=kind, num_joint=num_joint,
+        max_seq_length=args.max_frame, moving_avg=args.moving_avg,
+        allowed_classes=args.allowed_classes,
+        multi_test=cfg.test_dataloader_args.get("multi_test", 1)
+        if kind == "sgn" else 1,
+        sgn_dataloader_args=cfg.test_dataloader_args
+        if kind == "sgn" else None)
+
+    for i, frame in enumerate(load_frames(args.input, num_joint)):
+        rec.append_frame(frame.astype(np.float32))
+        if (i + 1) % args.interval == 0:
+            label, probs = rec.predict()
+            line = f"frame {i + 1}: class {label} p={probs[label]:.3f}"
+            if args.timing:
+                line += f" ({rec.last_latency_ms:.1f} ms)"
+            print(line, flush=True)
+
+
+if __name__ == "__main__":
+    main()
