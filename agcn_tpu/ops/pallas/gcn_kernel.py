@@ -27,34 +27,33 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _kernel(x_ref, a1_ref, w_ref, out_ref):
-    """One (sample, time-tile) block.
+    """One (sample, time-tile) block, joint-major layout.
 
-    x_ref:  (1, Tt, V, C)    a1_ref: (1, K, V, V)
-    w_ref:  (K*C, Co)        out_ref: (1, Tt, V, Co)
+    x_ref:  (1, V, Tt, C)    a1_ref: (1, K, V, V)
+    w_ref:  (K*C, Co)        out_ref: (1, V, Tt, Co)
+
+    Mosaic-friendly: only adjacent-dim reshapes, no in-kernel transposes
+    (the host supplies x joint-major; XLA fuses that layout change).
     """
-    x = x_ref[0]          # (Tt, V, C)
+    x = x_ref[0]          # (V, Tt, C)
     a1 = a1_ref[0]        # (K, V, V)
-    tt, v, c = x.shape
+    v, tt, c = x.shape
     k = a1.shape[0]
 
-    # aggregation: for each subset, agg_k[t,w,c] = sum_v a1[k,v,w] x[t,v,c]
-    # expressed as (V, V)^T @ (V, Tt*C) matmuls, all in VMEM
-    xt = jnp.transpose(x, (1, 0, 2)).reshape(v, tt * c)  # (V, Tt*C)
+    x2d = x.reshape(v, tt * c)
     aggs = []
     for ki in range(k):
-        a_k = a1[ki]  # (V, V), source-major
+        # agg_k[w, (t,c)] = sum_v a1[k,v,w] * x[v,(t,c)]
         agg = jax.lax.dot_general(
-            a_k, xt, (((0,), (0,)), ((), ())),
+            a1[ki], x2d, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)  # (V, Tt*C)
-        aggs.append(agg.reshape(v, tt, c))
-    # (Tt, V, K*C)
-    agg = jnp.concatenate(aggs, axis=-1).transpose(1, 0, 2)
+        aggs.append(agg.reshape(v * tt, c))
+    agg = jnp.concatenate(aggs, axis=-1)  # (V*Tt, K*C)
     # fused projection + subset sum: one MXU matmul
     z = jax.lax.dot_general(
-        agg.reshape(tt * v, k * c), w_ref[:],
-        (((1,), (0,)), ((), ())),
+        agg, w_ref[:], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
-    out_ref[0] = z.reshape(tt, v, -1).astype(out_ref.dtype)
+    out_ref[0] = z.reshape(v, tt, -1).astype(out_ref.dtype)
 
 
 def _forward(x: jnp.ndarray, a1: jnp.ndarray, w: jnp.ndarray,
@@ -63,25 +62,30 @@ def _forward(x: jnp.ndarray, a1: jnp.ndarray, w: jnp.ndarray,
     k = a1.shape[1]
     co = w.shape[-1]
     tt = min(time_tile, t)
+    if tt < t:
+        # Mosaic tiling: the block's second-to-last dim must be a
+        # multiple of 8 unless it spans the whole axis
+        tt = max(8, tt - tt % 8)
     # pad T to a multiple of the tile
     t_pad = -t % tt
     if t_pad:
         x = jnp.pad(x, ((0, 0), (0, t_pad), (0, 0), (0, 0)))
     n_tiles = (t + t_pad) // tt
+    xj = jnp.transpose(x, (0, 2, 1, 3))  # (B, V, T, C), host-side
 
     out = pl.pallas_call(
         _kernel,
-        out_shape=jax.ShapeDtypeStruct((b, t + t_pad, v, co), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, v, t + t_pad, co), x.dtype),
         grid=(b, n_tiles),
         in_specs=[
-            pl.BlockSpec((1, tt, v, c), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((1, v, tt, c), lambda i, j: (i, 0, j, 0)),
             pl.BlockSpec((1, k, v, v), lambda i, j: (i, 0, 0, 0)),
             pl.BlockSpec((k * c, co), lambda i, j: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, tt, v, co), lambda i, j: (i, j, 0, 0)),
+        out_specs=pl.BlockSpec((1, v, tt, co), lambda i, j: (i, 0, j, 0)),
         interpret=interpret,
-    )(x, a1, w.reshape(k * c, co))
-    return out[:, :t]
+    )(xj, a1, w.reshape(k * c, co))
+    return jnp.transpose(out, (0, 2, 1, 3))[:, :t]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))

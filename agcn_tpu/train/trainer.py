@@ -425,9 +425,21 @@ class Trainer:
         ds = self.datasets["val"]
         scores = []
         t0 = time.time()
+        full = None
         for x, y, idx in loader:
+            # pad the trailing partial batch to the compiled batch shape
+            # so eval stays a single XLA program
+            if full is None:
+                full = x.shape[0]
+            n_real = x.shape[0]
+            if n_real < full:
+                pad = np.zeros((full - n_real,) + x.shape[1:], x.dtype)
+                x = np.concatenate([x, pad], axis=0)
             logits, _ = self._eval_step(self.state, jnp.asarray(x), None)
-            scores.append(np.asarray(logits))
+            crops = getattr(self, "multi_test", 1)
+            scores.append(np.asarray(logits)[: max(n_real // max(crops, 1),
+                                                   1)]
+                          if crops > 1 else np.asarray(logits)[:n_real])
         score = np.concatenate(scores, axis=0)[: len(ds)]
         accs = {k: ds.top_k(score, k) for k in cfg.show_topk}
         dt = time.time() - t0
