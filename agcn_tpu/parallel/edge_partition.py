@@ -87,6 +87,67 @@ def edge_partitioned_aggregate(x: jnp.ndarray, adj: np.ndarray, mesh: Mesh,
     return run(x, parts)
 
 
+def make_hybrid_partitioned_gcn(adj: np.ndarray, mesh: Mesh) -> Callable:
+    """Subset x output-channel hybrid partitioning with real work division.
+
+    Dense-masked edge slices cannot shrink a V<=25 dense matmul, so pure
+    edge sharding replicates compute (see bench_scaling.py). Instead the
+    'edge' axis is split into (subset, output) factors: each device owns
+    ceil(K/ks) adjacency subsets and a 1/os slice of the output channels —
+    per-device FLOPs are ~(1/P) of the total. Partials combine with a
+    psum over the subset factor and an all-gather over the output factor,
+    both emitted by XLA from one shard_map.
+
+    Returns (fn, adj_parts) with fn(x (B,T,V,C), adj_parts, w (K,C,Co))
+    -> (B,T,V,Co).
+    """
+    p = mesh.shape["edge"]
+    k, v, _ = adj.shape
+    # largest divisor of p that fits the subset count
+    ks = max(d for d in range(1, p + 1) if p % d == 0 and d <= k)
+    os_ = p // ks            # output-channel factor
+    # pad K to a multiple of ks with zero subsets
+    k_pad = -k % ks
+    adj_padded = np.concatenate(
+        [adj, np.zeros((k_pad, v, v), adj.dtype)]) if k_pad else adj
+    per = (k + k_pad) // ks
+    # device d = (s, o): owns subsets [s*per, (s+1)*per)
+    parts = np.stack([adj_padded[s * per:(s + 1) * per]
+                      for s in range(ks) for _ in range(os_)])
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(), P("edge"), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    def run(xl, adj_local, w):
+        d = jax.lax.axis_index("edge")
+        s = d // os_
+        o = d % os_
+        co = w.shape[-1]
+        chunk = co // os_
+        w_pad = jnp.concatenate(
+            [w, jnp.zeros((k_pad,) + w.shape[1:], w.dtype)]) if k_pad \
+            else w
+        # my subset slice of the weights, my output-channel slice
+        w_local = jax.lax.dynamic_slice(
+            w_pad, (s * per, 0, 0), (per, w.shape[1], co))
+        w_local = jax.lax.dynamic_slice(
+            w_local, (0, 0, o * chunk), (per, w.shape[1], chunk))
+        partial = jnp.einsum("btvc,kvw->kbtwc", xl, adj_local[0])
+        z = jnp.einsum("kbtwc,kco->btwo", partial, w_local)  # (..., chunk)
+        # place my output slice at its channel offset and psum: slices are
+        # disjoint across the output factor and summed across the subset
+        # factor, so ONE all-reduce assembles the full output
+        full = jnp.zeros(z.shape[:-1] + (co,), z.dtype)
+        full = jax.lax.dynamic_update_slice(
+            full, z, (0, 0, 0, o * chunk))
+        return jax.lax.psum(full, "edge")
+
+    return run, jnp.asarray(parts)
+
+
 def make_edge_partitioned_gcn(adj: np.ndarray, mesh: Mesh,
                               combiner: str = "psum") -> Callable:
     """Build y = sum_k (x @ A_k) @ W_k with edge-sharded aggregation.

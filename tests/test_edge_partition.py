@@ -40,3 +40,18 @@ def test_edge_partitioned_gcn_matches_dense(combiner):
     out = fn(x, parts, w)
     ref = sum(aggregate(x, jnp.asarray(adj[k])) @ w[k] for k in range(3))
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+
+@pytest.mark.parametrize("p", [1, 2, 4, 8])
+def test_hybrid_partitioned_gcn_matches_dense(p):
+    from agcn_tpu.parallel.edge_partition import make_hybrid_partitioned_gcn
+
+    adj = build_adjacency("ntu_rgb_d")
+    mesh = make_mesh(data=1, edge=p)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 4, 25, 8)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((3, 8, 16)).astype(np.float32))
+    fn, parts = make_hybrid_partitioned_gcn(adj, mesh)
+    out = fn(x, parts, w)
+    ref = sum(aggregate(x, jnp.asarray(adj[k])) @ w[k] for k in range(3))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
