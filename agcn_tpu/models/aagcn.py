@@ -129,7 +129,9 @@ class AdaptiveGCN(nn.Module):
         theta, phi = emb[..., 0, :, :], emb[..., 1, :, :]
         logits = jnp.einsum("btvkc,btwkc->bkvw", theta, phi) \
             / (inter_c * t)
-        att = jax.nn.softmax(logits, axis=-2)  # (B, K, V, V)
+        # softmax in fp32 for bf16 stability, result back in compute dtype
+        att = jax.nn.softmax(logits.astype(jnp.float32), axis=-2)
+        att = att.astype(compute.dtype)  # (B, K, V, V)
         a1 = pa[None].astype(att.dtype) + att * alpha.astype(att.dtype)
 
         agg = jnp.einsum("btvc,bkvw->btwkc", compute, a1)

@@ -89,7 +89,9 @@ class UnitGCN(nn.Module):
         # (agcn.py:99-101; divisor Ce * T)
         logits = jnp.einsum("btvkc,btwkc->bkvw", theta, phi) \
             / (inter_c * t)
-        att = jax.nn.softmax(logits, axis=-2)  # (B, K, V, V)
+        # softmax in fp32 for bf16 stability, result back in compute dtype
+        att = jax.nn.softmax(logits.astype(jnp.float32), axis=-2)
+        att = att.astype(compute.dtype)  # (B, K, V, V)
         a1 = att + adj[None].astype(att.dtype)
 
         out_b = sum(b_d)
