@@ -14,7 +14,7 @@ distributed edge-partition path and for tooling (visualization, analysis).
 from __future__ import annotations
 
 import dataclasses
-from typing import Iterable, Optional, Sequence, Tuple
+from typing import Iterable, Tuple
 
 import numpy as np
 

@@ -18,7 +18,7 @@ option, per-head attention outputs).
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
@@ -28,8 +28,7 @@ from flax import linen as nn
 from agcn_tpu.models.aagcn import TCNGCNUnit, layer_plan
 from agcn_tpu.ops import BatchNorm
 from agcn_tpu.ops import initializers as init
-from agcn_tpu.ops.attention import (CosSinPositionalEncoding,
-                                    PositionalEncoding, TransformerEncoder)
+from agcn_tpu.ops.attention import TransformerEncoder
 
 
 class AAGCNTransformer(nn.Module):

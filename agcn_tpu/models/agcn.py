@@ -18,7 +18,7 @@ Design notes (TPU-first, not a port):
 
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence, Tuple
+from typing import Any, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -26,7 +26,6 @@ import numpy as np
 from flax import linen as nn
 
 from agcn_tpu.ops import BatchNorm, PointwiseConv, TemporalConv
-from agcn_tpu.ops import gcn as gcn_ops
 from agcn_tpu.ops import initializers as init
 
 

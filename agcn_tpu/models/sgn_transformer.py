@@ -13,13 +13,13 @@ channels-last with LayerNorm, mapping directly onto MXU + fused epilogues.
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional, Sequence, Tuple
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from agcn_tpu.models.sgn import C1, C2, C3, C4, SGNEmbedding
+from agcn_tpu.models.sgn import C1, SGNEmbedding
 from agcn_tpu.ops.attention import TransformerEncoder
 from agcn_tpu.ops import initializers as init
 

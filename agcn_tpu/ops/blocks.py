@@ -9,7 +9,7 @@ All operate on (B, T, V, C) channels-last tensors.
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
+from typing import List, Sequence
 
 import jax.numpy as jnp
 from flax import linen as nn

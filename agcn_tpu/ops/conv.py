@@ -9,7 +9,7 @@ matmul, and writing it as one lets XLA fuse epilogues into it.
 
 from __future__ import annotations
 
-from typing import Callable, Optional, Tuple
+from typing import Callable, Optional
 
 import jax.numpy as jnp
 from flax import linen as nn

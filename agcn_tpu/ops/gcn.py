@@ -17,8 +17,6 @@ lives in agcn_tpu/ops/pallas/.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 

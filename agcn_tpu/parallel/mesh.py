@@ -16,7 +16,7 @@ processes; per-host data loading covers the DistributedSampler role.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Sequence
+from typing import Any, Optional, Sequence
 
 import jax
 import numpy as np

@@ -10,17 +10,15 @@ sharded jit (no process-per-GPU spawn), and checkpoints are orbax pytrees.
 
 from __future__ import annotations
 
-import dataclasses
 import json
 import os
 import pickle
 import time
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-import optax
 
 from agcn_tpu.data import (BatchIterator, SGNDataset, SegmentSampler,
                            SkeletonDataset, make_sgn_collate)

@@ -37,8 +37,7 @@ import numpy as np
 
 from agcn_tpu.graph import build_adjacency, spatial_edge_sets
 from agcn_tpu.parallel import make_mesh
-from agcn_tpu.parallel.edge_partition import (make_edge_partitioned_gcn,
-                                              make_hybrid_partitioned_gcn)
+from agcn_tpu.parallel.edge_partition import make_hybrid_partitioned_gcn
 
 
 def main():
