@@ -74,13 +74,12 @@ def build_model(name: str, model_args: Dict[str, Any]):
         if "use_bias" in args:
             args["use_bias"] = bool(args["use_bias"])
         # drop reference-only args our SGN fixes or doesn't expose
-        for k in ("norm_type", "act_type", "xem_projection",
+        for k in ("norm_type", "act_type",
                   "semantic_frame_fusion", "semantic_class_fusion",
                   "sgcn_kernel", "sgcn_padding", "sgcn_g_kernel",
                   "sgcn_v_kernel", "gcn_fpn", "gcn_fpn_kernel",
                   "gcn_fpn_shared", "gcn_fpn_output_merge", "bifpn_dim",
                   "bifpn_layers", "multi_t_shared", "t_maxpool_kwargs",
-                  "semantic_jdiff",
                   "semantic_joint_smp",
                   "sgcn_attn_mode",
                   "sgcn_gt_out_channels2", "sgcn_ffn_mode"):

@@ -559,8 +559,10 @@ class SGN(nn.Module):
     semantic_joint: int = 1
     semantic_frame: int = 1
     semantic_class: int = 0
+    semantic_jdiff: int = 0          # joint embedding fused into velocity
     semantic_joint_fusion: int = 0   # 0 concat, 1 sum
     semantic_frame_location: int = 0  # 0 post-GCN, 1 pre-GCN
+    xem_projection: int = 0          # pre-GCN projection embedding mode
 
     sgcn_dims: Optional[Sequence[int]] = None  # default (c2, c3, c3)
     sgcn_residual: Sequence[int] = (0, 0, 0)
@@ -621,25 +623,44 @@ class SGN(nn.Module):
             vel = SGNEmbedding(c1, mode=self.input_velocity,
                                use_bias=self.use_bias, in_norm=True,
                                name="vel_embed")(dif, train)
-        if pos is not None and vel is not None:
-            feat = pos + vel
-        else:
-            feat = pos if pos is not None else vel
-
         # Semantic embeddings -------------------------------------------
         # one-hot tables embedded once, broadcast over batch/time
         # (blocks/semantic.py:128-190) — constants folded by XLA.
-        if self.semantic_joint > 0:
+        def onehot_joint_embedding(mode, name):
             joint_tab = jnp.eye(v)[None, None]  # (1,1,V,V)
-            spa = SGNEmbedding(c1, mode=self.semantic_joint,
-                               use_bias=self.use_bias,
-                               name="joint_embed")(
+            emb = SGNEmbedding(c1, mode=mode, use_bias=self.use_bias,
+                               name=name)(
                 jnp.broadcast_to(joint_tab, (1, t, v, v)), train)
-            spa = jnp.broadcast_to(spa, (b, t, v, c1))
-            if self.semantic_joint_fusion == 0:
-                feat = jnp.concatenate([feat, spa], axis=-1)
+            return jnp.broadcast_to(emb, (b, t, v, c1))
+
+        def fuse(a, b_, mode):
+            return jnp.concatenate([a, b_], axis=-1) if mode == 0 else a + b_
+
+        if self.semantic_jdiff > 0 and pos is not None and vel is not None \
+                and self.semantic_joint > 0:
+            # jdiff: joint embedding fused into position AND a separate
+            # joint-diff embedding fused into velocity
+            # (sgn_v14.py:855-880 semantic_jdiff branch)
+            spa = onehot_joint_embedding(self.semantic_joint, "joint_embed")
+            spa_diff = onehot_joint_embedding(self.semantic_jdiff,
+                                              "jdiff_embed")
+            feat = fuse(pos, spa, self.semantic_joint_fusion) \
+                + fuse(vel, spa_diff, self.semantic_joint_fusion)
+        else:
+            if pos is not None and vel is not None:
+                feat = pos + vel
             else:
-                feat = feat + spa
+                feat = pos if pos is not None else vel
+            if self.semantic_joint > 0:
+                spa = onehot_joint_embedding(self.semantic_joint,
+                                             "joint_embed")
+                feat = fuse(feat, spa, self.semantic_joint_fusion)
+
+        if self.xem_projection > 0:
+            # projection layer pre-GCN (sgn_v14.py:309-318)
+            feat = SGNEmbedding(feat.shape[-1], mode=self.xem_projection,
+                                use_bias=self.use_bias,
+                                name="x_emb_projection")(feat, train)
 
         gcn_in_ch = feat.shape[-1]
         sgcn_dims = tuple(self.sgcn_dims or (c2, c3, c3))
@@ -702,12 +723,34 @@ class SGN(nn.Module):
         if tem_emb is not None and self.semantic_frame_location == 0:
             feats = [f + tem_emb if f is not None else None for f in feats]
 
-        # spatial pooling -----------------------------------------------
-        if self.spatial_maxpool == 1:
-            feats = [jnp.max(f, axis=2, keepdims=True)
-                     if f is not None else None for f in feats]
-        elif self.spatial_maxpool != 0:
+        # spatial pooling (modes 0/1/3/4/5, sgn_v14.py:663-722) ---------
+        def vconv(feat_in, features, kernel, name):
+            """conv over the joint axis (valid padding)."""
+            y = nn.Conv(features, kernel_size=(1, kernel),
+                        padding="VALID", use_bias=bool(self.use_bias),
+                        kernel_init=init.kaiming_normal_fan_out,
+                        name=f"{name}_conv")(feat_in)
+            y = BatchNorm(name=f"{name}_bn")(y, train)
+            return nn.relu(y)
+
+        def smp(f, idx):
+            if f is None:
+                return None
+            if self.spatial_maxpool == 0:
+                return f
+            if self.spatial_maxpool == 1:
+                return jnp.max(f, axis=2, keepdims=True)
+            if self.spatial_maxpool == 3:
+                return vconv(f, c3, v, f"smp{idx}_k")
+            if self.spatial_maxpool == 4:
+                y = vconv(f, c3, 1, f"smp{idx}_1x1")
+                return vconv(y, c3, v, f"smp{idx}_k")
+            if self.spatial_maxpool == 5:
+                y = vconv(f, c3, v, f"smp{idx}_k")
+                return vconv(y, c3, 1, f"smp{idx}_1x1")
             raise NotImplementedError("spatial_maxpool mode")
+
+        feats = [smp(f, i) for i, f in enumerate(feats)]
 
         # temporal branches ---------------------------------------------
         outs: List[jnp.ndarray] = []
@@ -741,8 +784,25 @@ class SGN(nn.Module):
         y = jnp.mean(jnp.stack(outs, 0), 0) if len(outs) > 1 else outs[0]
 
         # temporal pooling + classifier ---------------------------------
+        def tconv_pool(feat_in, kernel, name):
+            """conv over the time axis (valid padding)."""
+            z = nn.Conv(feat_in.shape[-1], kernel_size=(kernel, 1),
+                        padding="VALID", use_bias=bool(self.use_bias),
+                        kernel_init=init.kaiming_normal_fan_out,
+                        name=f"{name}_conv")(feat_in)
+            z = BatchNorm(name=f"{name}_bn")(z, train)
+            return nn.relu(z)
+
         if self.temporal_maxpool == 1:
             y = jnp.max(y, axis=1, keepdims=True)
+        elif self.temporal_maxpool == 3:
+            y = tconv_pool(y, y.shape[1], "tmp_k")
+        elif self.temporal_maxpool == 4:
+            y = tconv_pool(y, 1, "tmp_1x1")
+            y = tconv_pool(y, y.shape[1], "tmp_k")
+        elif self.temporal_maxpool == 5:
+            y = tconv_pool(y, y.shape[1], "tmp_k")
+            y = tconv_pool(y, 1, "tmp_1x1")
         elif self.temporal_maxpool != 0:
             raise NotImplementedError("temporal_maxpool mode")
 

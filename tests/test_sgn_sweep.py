@@ -26,6 +26,8 @@ AXES = {
     "sgcn_residual": [(0, 0, 0), (1, 1, 1)],
     "gcn_fpn": [-1, 1],
     "t_mode": [0, 1, 2],
+    "xem_projection": [0, 1],
+    "spatial_maxpool": [1, 3],
     "multi_t": [((), (), (3,)), ((), (), (3, 5))],
 }
 
