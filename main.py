@@ -22,9 +22,14 @@ def main(argv=None):
     from agcn_tpu.utils.config import config_from_cli
 
     cfg = config_from_cli(argv)
-    if cfg.world_size > 1:
-        import jax
+    import jax
 
+    # persistent compilation cache: repeat runs skip the (minutes-long)
+    # TPU compile
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/jax_comp_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    if cfg.world_size > 1:
         jax.distributed.initialize()
     from agcn_tpu.train.trainer import Trainer
 
