@@ -182,6 +182,40 @@ BACKBONE_PLAN: Tuple[Tuple[int, int, bool], ...] = (
 )
 
 
+class _ScanBlockBody(nn.Module):
+    """Adapter making STGCNBlock scannable: (carry, train) -> (carry, None)."""
+
+    out_channels: int
+    adj: Any
+    sync_axis: Optional[str] = None
+    dtype: Optional[jnp.dtype] = None
+    use_pallas: bool = False
+
+    @nn.compact
+    def __call__(self, carry, train):
+        y = STGCNBlock(self.out_channels, self.adj, stride=1, residual=True,
+                       sync_axis=self.sync_axis, dtype=self.dtype,
+                       use_pallas=self.use_pallas, name="block")(carry, train)
+        return y, None
+
+
+def _scan_blocks(n: int, name: str, **block_kwargs):
+    """n homogeneous STGCN blocks compiled once via nn.scan.
+
+    The XLA program contains ONE block body instead of n unrolled copies —
+    a large compile-time saving in this environment's minutes-long remote
+    compiles. Parameters carry a leading stacked axis (layout differs from
+    the unrolled model, so checkpoints are not interchangeable).
+    """
+    return nn.scan(
+        _ScanBlockBody,
+        variable_axes={"params": 0, "batch_stats": 0},
+        split_rngs={"params": True, "dropout": True},
+        in_axes=(nn.broadcast,),
+        length=n,
+    )(name=name, **block_kwargs)
+
+
 class AGCN(nn.Module):
     """The full AGCN classifier. Parity: reference agcn.py:132-183.
 
@@ -198,6 +232,7 @@ class AGCN(nn.Module):
     dtype: Optional[jnp.dtype] = None
     use_pallas: bool = False
     remat: bool = False  # rematerialize blocks: trade FLOPs for HBM
+    scan_blocks: bool = False  # scan homogeneous block groups (fast compile)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -213,13 +248,29 @@ class AGCN(nn.Module):
         if self.dtype is not None:
             x = x.astype(self.dtype)
 
-        block_cls = nn.remat(STGCNBlock, static_argnums=(2,)) \
-            if self.remat else STGCNBlock
-        for i, (ch, stride, residual) in enumerate(BACKBONE_PLAN):
-            x = block_cls(ch, self.adj, stride=stride, residual=residual,
-                          sync_axis=self.sync_axis, dtype=self.dtype,
-                          use_pallas=self.use_pallas,
-                          name=f"l{i + 1}")(x, train)
+        common = dict(sync_axis=self.sync_axis, dtype=self.dtype,
+                      use_pallas=self.use_pallas)
+        if self.scan_blocks:
+            # l1 / scan(l2-l4) / l5 / scan(l6-l7) / l8 / scan(l9-l10)
+            x = STGCNBlock(64, self.adj, stride=1, residual=False,
+                           name="l1", **common)(x, train)
+            x, _ = _scan_blocks(3, "l2_4", out_channels=64, adj=self.adj,
+                                **common)(x, train)
+            x = STGCNBlock(128, self.adj, stride=2, residual=True,
+                           name="l5", **common)(x, train)
+            x, _ = _scan_blocks(2, "l6_7", out_channels=128, adj=self.adj,
+                                **common)(x, train)
+            x = STGCNBlock(256, self.adj, stride=2, residual=True,
+                           name="l8", **common)(x, train)
+            x, _ = _scan_blocks(2, "l9_10", out_channels=256, adj=self.adj,
+                                **common)(x, train)
+        else:
+            block_cls = nn.remat(STGCNBlock, static_argnums=(2,)) \
+                if self.remat else STGCNBlock
+            for i, (ch, stride, residual) in enumerate(BACKBONE_PLAN):
+                x = block_cls(ch, self.adj, stride=stride,
+                              residual=residual, name=f"l{i + 1}",
+                              **common)(x, train)
 
         # global pooling: mean over (T, V), then persons (agcn.py:178-182)
         x = x.astype(jnp.float32)
