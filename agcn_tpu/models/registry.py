@@ -44,6 +44,15 @@ def _build_agcn(model_args: Dict[str, Any], cls):
     return cls(adj=adj, **args)
 
 
+def import_class(name: str):
+    """Dotted-path class loader (reference utils/utils.py:79-84): the
+    plug-in mechanism for user-defined models."""
+    import importlib
+
+    module, _, attr = name.rpartition(".")
+    return getattr(importlib.import_module(module), attr)
+
+
 def build_model(name: str, model_args: Dict[str, Any]):
     key = _ALIASES.get(name, name).lower()
     if key == "agcn":
@@ -96,4 +105,8 @@ def build_model(name: str, model_args: Dict[str, Any]):
                 args["c_multiplier"], (list, tuple)):
             args["c_multiplier"] = (args["c_multiplier"],) * 4
         return SGN(**args)
+    if "." in name:
+        # user plug-in: dotted path to a flax Module class/factory
+        cls = import_class(name)
+        return cls(**model_args)
     raise KeyError(f"Unknown model {name!r}")

@@ -284,7 +284,22 @@ class Trainer:
                 mmd, l2z = L2.mmd_loss(z, prior, y, num_class)
                 total = total + cfg.mmd_lambda2 * mmd \
                     + cfg.mmd_lambda1 * l2z
-                metrics.update(mmd=mmd, l2_z_mean=l2z)
+                # cos/dist diagnostics of the class means (reference
+                # get_vector_property, processor.py:43-53)
+                onehot = jax.nn.one_hot(y, num_class, dtype=z.dtype)
+                counts = jnp.maximum(onehot.sum(0), 1.0)
+                means = (onehot.T @ z) / counts[:, None]
+                normed = means / jnp.maximum(
+                    jnp.linalg.norm(means, axis=-1, keepdims=True), 1e-9)
+                cos = normed @ normed.T
+                off = 1.0 - jnp.eye(num_class, dtype=z.dtype)
+                denom = jnp.maximum(off.sum(), 1.0)
+                cos_z = (cos * off).sum() / denom
+                dist = jnp.linalg.norm(
+                    means[:, None] - means[None], axis=-1)
+                dist_z = (dist * off).sum() / denom
+                metrics.update(mmd=mmd, l2_z_mean=l2z, cos_z=cos_z,
+                               dist_z=dist_z)
             if use_fsim and aux is not None \
                     and len(aux.get("branch_outputs", [])) > 1:
                 outs = aux["branch_outputs"]
