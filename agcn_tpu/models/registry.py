@@ -23,6 +23,9 @@ _ALIASES = {
     "model.aagcn.Model": "aagcn",
     "model.architecture.aagcn.agcn.Model": "agcn",
     "model.architecture.aagcn.aagcn.Model": "aagcn",
+    "model.sgn_v11.SGN": "sgn",
+    "model.sgn_v12.SGN": "sgn",
+    "model.sgn_v13.SGN": "sgn",
     "model.sgn_v14.SGN": "sgn",
     "model.architecture.sgn.sgn_v14.SGN": "sgn",
     "model.sgn_v15.SGN": "sgn_transformer",
