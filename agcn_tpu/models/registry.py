@@ -86,18 +86,26 @@ def build_model(name: str, model_args: Dict[str, Any]):
         if "use_bias" in args:
             args["use_bias"] = bool(args["use_bias"])
         # drop reference-only args our SGN fixes or doesn't expose
+        # (fixed 1x1 kernels / bn+relu / unshipped experiment switches)
         for k in ("norm_type", "act_type",
                   "semantic_frame_fusion", "semantic_class_fusion",
                   "sgcn_kernel", "sgcn_padding", "sgcn_g_kernel",
-                  "sgcn_v_kernel", "gcn_fpn", "gcn_fpn_kernel",
-                  "gcn_fpn_shared", "gcn_fpn_output_merge", "bifpn_dim",
-                  "bifpn_layers", "multi_t_shared", "t_maxpool_kwargs",
+                  "sgcn_v_kernel",
+                  "gcn_fpn_shared", "gcn_fpn_output_merge",
+                  "t_maxpool_kwargs",
                   "semantic_joint_smp",
                   "sgcn_attn_mode",
+                  "sgcn2_kernel", "sgcn2_padding", "sgcn2_dropout",
+                  "sgcn2_residual", "sgcn2_prenorm", "sgcn2_ffn",
+                  "sgcn2_v_kernel", "sgcn2_g_kernel", "sgcn2_g_proj_dim",
+                  "sgcn2_g_proj_shared", "sgcn2_g_weighted",
+                  "sgcn2_g_res_alpha", "sgcn2_gt_mode", "sgcn2_gt_act",
+                  "sgcn2_gt_g3_idx", "sgcn2_attn_mode",
                   "sgcn_gt_out_channels2", "sgcn_ffn_mode"):
             args.pop(k, None)
-        if "sgcn_dims" in args and args["sgcn_dims"] is not None:
-            args["sgcn_dims"] = tuple(args["sgcn_dims"])
+        for dk in ("sgcn_dims", "sgcn2_dims"):
+            if dk in args and args[dk] is not None:
+                args[dk] = tuple(args[dk])
         if "sgcn_residual" in args:
             r = args["sgcn_residual"]
             args["sgcn_residual"] = tuple(r) if isinstance(r, (list, tuple)) \

@@ -315,7 +315,7 @@ class GCNSpatialUnit(nn.Module):
     gt_mode: int = 0
 
     @nn.compact
-    def __call__(self, x, g, train: bool = False, g_aux=None):
+    def __call__(self, x, g, train: bool = False, g_aux=None, y=None):
         if self.gt_mode == 4 and g_aux is not None:
             # per-frame scalar gates the unit input
             # (blocks/spatial.py:791-794)
@@ -325,8 +325,10 @@ class GCNSpatialUnit(nn.Module):
                       kernel_init=nn.initializers.zeros,
                       bias_init=init.torch_default_bias(x.shape[-1]),
                       name="w1")(x2)
+        # y: injected feature for the w2 residual (attn_mode 10 /
+        # GCNSpatialBlock2, blocks/spatial.py:806-812)
         x5 = TConv(self.out_channels, use_bias=self.use_bias,
-                   name="w2")(x) * self.res_alpha
+                   name="w2")(x if y is None else y) * self.res_alpha
         x6 = x4 + x5
         if not self.prenorm:
             x6 = BatchNorm(name="norm")(x6, train)
@@ -375,7 +377,9 @@ class GCNSpatialBlock(nn.Module):
     g3_idx: int = 2
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, inject=None, g_fixed=None):
+        """inject: per-unit features for the w2 residual; g_fixed: reuse
+        an externally computed G (GCNSpatialBlock2, spatial.py:1017+)."""
         g_shared = isinstance(self.g_proj_dim, int)
         g_list: List[Any] = []
         x_list: List[jnp.ndarray] = []
@@ -383,7 +387,10 @@ class GCNSpatialBlock(nn.Module):
             x1 = x
             if self.prenorm:
                 x1 = BatchNorm(name=f"prenorm{i + 1}")(x1, train)
-            if i == 0 or not g_shared:
+            if g_fixed is not None:
+                if not g_list:
+                    g_list.append((g_fixed, None))
+            elif i == 0 or not g_shared:
                 proj = (self.g_proj_dim if g_shared
                         else self.g_proj_dim[i])
                 g_prior = g_list[-1][0] if (self.g_weighted and g_list) \
@@ -410,7 +417,8 @@ class GCNSpatialBlock(nn.Module):
                                res_alpha=self.res_alpha,
                                gt_mode=self.gt_mode,
                                name=f"gcn{i + 1}")(
-                x1, g_list[-1][0], train, g_aux=g_list[-1][1])
+                x1, g_list[-1][0], train, g_aux=g_list[-1][1],
+                y=None if inject is None else inject[i])
             if self.residual[i] == 1:
                 if x.shape[-1] == dim:
                     z = z + x
@@ -579,7 +587,8 @@ class SGN(nn.Module):
     sgcn_gt_g3_idx: int = 2
 
     gcn_fpn: int = -1       # -1 none | 0 parallel | 1 proj+sum | 7 (k=3)
-    #                         | 8 BiFPN
+    #                         | 8 BiFPN | 10 second GCN stack (sgcn2)
+    sgcn2_dims: Optional[Sequence[int]] = None  # dims for gcn_fpn=10
     gcn_fpn_kernel: int = 1
     bifpn_dim: int = 256
     bifpn_layers: int = 1
@@ -716,6 +725,25 @@ class SGN(nn.Module):
 
             feats = BiFPN(self.bifpn_dim, self.bifpn_layers,
                           name="bifpn")(list(x_list), train)
+        elif self.gcn_fpn == 10:
+            # second GCN stack over the last output with earlier features
+            # injected high-to-low (sgn_v14.py:920-927 + GCNSpatialBlock2)
+            dims2 = tuple(self.sgcn2_dims or sgcn_dims)
+            inject = [feat] + list(x_list[:-1])
+            inject.reverse()
+            _, _, x_list2 = GCNSpatialBlock(
+                dims=dims2,
+                g_proj_dim=g_proj,
+                g_proj_shared=self.sgcn_g_proj_shared,
+                g_activation=self.sgcn_g_activation,
+                gt_mode=0,
+                residual=(0,) * len(dims2),
+                prenorm=self.sgcn_prenorm,
+                dropout=self.sgcn_dropout,
+                use_bias=self.use_bias,
+                name="sgcn2")(x_list[-1], train, inject=inject,
+                              g_fixed=g_list[-1][0])
+            feats = [None] * (len(x_list) - 1) + [x_list2[-1]]
         else:
             # default: only the last level feeds the temporal module
             feats = [None] * (len(x_list) - 1) + [x_list[-1]]
