@@ -313,6 +313,7 @@ class GCNSpatialUnit(nn.Module):
     prenorm: bool = False
     res_alpha: float = 1.0
     gt_mode: int = 0
+    attn_mode: int = 0  # 0 G-aggregate | 1 no-G | 2 SE | 3 w2-only
 
     @nn.compact
     def __call__(self, x, g, train: bool = False, g_aux=None, y=None):
@@ -320,16 +321,39 @@ class GCNSpatialUnit(nn.Module):
             # per-frame scalar gates the unit input
             # (blocks/spatial.py:791-794)
             x = g_aux * x
-        x2 = frame_aggregate(x, g)  # (B,T,V,C): dest = row of G
-        x4 = nn.Dense(self.out_channels, use_bias=self.use_bias,
-                      kernel_init=nn.initializers.zeros,
-                      bias_init=init.torch_default_bias(x.shape[-1]),
-                      name="w1")(x2)
-        # y: injected feature for the w2 residual (attn_mode 10 /
-        # GCNSpatialBlock2, blocks/spatial.py:806-812)
-        x5 = TConv(self.out_channels, use_bias=self.use_bias,
-                   name="w2")(x if y is None else y) * self.res_alpha
-        x6 = x4 + x5
+
+        def w1(inp):
+            return nn.Dense(self.out_channels, use_bias=self.use_bias,
+                            kernel_init=nn.initializers.zeros,
+                            bias_init=init.torch_default_bias(
+                                inp.shape[-1]),
+                            name="w1")(inp)
+
+        def w2(inp):
+            return TConv(self.out_channels, use_bias=self.use_bias,
+                         name="w2")(inp)
+
+        if self.attn_mode == 0:
+            # original SGN: x -> w1(G @ x) + res_alpha * w2(x|y)
+            x2 = frame_aggregate(x, g)  # dest = row of G
+            x4 = w1(x2)
+            x5 = w2(x if y is None else y) * self.res_alpha
+            x6 = x4 + x5
+        elif self.attn_mode == 1:
+            # two linear projections, no G (blocks/spatial.py:813-820)
+            x6 = w1(x) + w2(x) * self.res_alpha
+        elif self.attn_mode == 2:
+            # squeeze-excite instead of G (blocks/spatial.py:821-830)
+            se = x.mean(axis=2, keepdims=True)  # (B,T,1,C)
+            se = nn.relu(TConv(self.out_channels // 2,
+                               use_bias=self.use_bias, name="w3")(se))
+            se = jax.nn.sigmoid(w1(se))
+            x6 = se + w2(x) * self.res_alpha
+        elif self.attn_mode == 3:
+            # single projection (blocks/spatial.py:831-838)
+            x6 = w2(x)
+        else:
+            raise NotImplementedError(f"attn_mode {self.attn_mode}")
         if not self.prenorm:
             x6 = BatchNorm(name="norm")(x6, train)
         x6 = nn.relu(x6)
@@ -373,6 +397,7 @@ class GCNSpatialBlock(nn.Module):
     ffn: Optional[float] = None
     dropout: float = 0.0
     use_bias: bool = True
+    attn_mode: int = 0
 
     g3_idx: int = 2
 
@@ -416,6 +441,7 @@ class GCNSpatialBlock(nn.Module):
                                dropout=self.dropout, prenorm=self.prenorm,
                                res_alpha=self.res_alpha,
                                gt_mode=self.gt_mode,
+                               attn_mode=self.attn_mode,
                                name=f"gcn{i + 1}")(
                 x1, g_list[-1][0], train, g_aux=g_list[-1][1],
                 y=None if inject is None else inject[i])
@@ -585,6 +611,7 @@ class SGN(nn.Module):
     sgcn_gt_mode: int = 1
     sgcn_gt_act: int = 1
     sgcn_gt_g3_idx: int = 2
+    sgcn_attn_mode: int = 0
 
     gcn_fpn: int = -1       # -1 none | 0 parallel | 1 proj+sum | 7 (k=3)
     #                         | 8 BiFPN | 10 second GCN stack (sgcn2)
@@ -701,6 +728,7 @@ class SGN(nn.Module):
             gt_mode=self.sgcn_gt_mode,
             gt_act=self.sgcn_gt_act,
             g3_idx=self.sgcn_gt_g3_idx,
+            attn_mode=self.sgcn_attn_mode,
             res_alpha=self.sgcn_g_res_alpha,
             residual=tuple(self.sgcn_residual),
             prenorm=self.sgcn_prenorm,
