@@ -302,6 +302,46 @@ class GCNSpatialGTScalar(nn.Module):
         return g12, s
 
 
+class GCNSpatialGTMap(nn.Module):
+    """GT modes 5/6: per-frame attention plus an MLP over the flattened
+    attention maps whose output joins the prediction branches
+    (blocks/spatial.py GCNSpatialGT5 :223-306, GT6 :309-375)."""
+
+    proj_dim: int
+    gt_mode: int = 5
+    out_channels2: int = 512   # gt5 head width (gt_out_channels2)
+    use_bias: bool = True
+    proj_shared: bool = False
+    activation: str = "softmax"
+    gt_activation: int = 1
+    g3_idx: int = 2
+
+    @nn.compact
+    def __call__(self, x, g_prior=None, train: bool = False):
+        b, t, v, c = x.shape
+        g1 = TConv(self.proj_dim, use_bias=self.use_bias, name="g1")(x)
+        g2 = g1 if self.proj_shared else TConv(
+            self.proj_dim, use_bias=self.use_bias, name="g2")(x)
+        logits = jnp.einsum("btvc,btwc->btvw", g1, g2)
+        g12 = jax.nn.softmax(logits, axis=-1) \
+            if self.activation == "softmax" else jax.nn.sigmoid(logits)
+
+        # MLP over flattened attention maps along time
+        maps = g12.reshape(b, t, 1, v * v)
+        out_ch = v * v if self.gt_mode == 6 else self.out_channels2
+        y = maps
+        for i in range(self.g3_idx - 1):
+            y = ConvNormAct(v * v, kernel_size=3, padding=1,
+                            use_bias=self.use_bias, use_norm=True,
+                            name=f"g3_cnn{i + 1}")(y, train)
+        y = TConv(out_ch, use_bias=self.use_bias,
+                  name=f"g3_cnn{self.g3_idx}")(y)
+        if self.gt_activation == 2:
+            y = jax.nn.sigmoid(y)
+        self.param("alpha", nn.initializers.zeros, (1,))
+        return g12, y  # y: (B, T, 1, out_ch)
+
+
 class GCNSpatialUnit(nn.Module):
     """One SGN graph conv: x -> norm(w1(G @ x) + res_alpha * w2(x)) -> relu
     -> dropout (blocks/spatial.py:702-843, attn_mode 0). w1 is zero-init
@@ -398,6 +438,7 @@ class GCNSpatialBlock(nn.Module):
     dropout: float = 0.0
     use_bias: bool = True
     attn_mode: int = 0
+    gt_out_channels2: int = 512
 
     g3_idx: int = 2
 
@@ -433,6 +474,12 @@ class GCNSpatialBlock(nn.Module):
                     g_out = GCNSpatialGTScalar(
                         proj, gt_mode=self.gt_mode,
                         gt_activation=self.gt_act, g3_idx=self.g3_idx,
+                        **common)(x1, g_prior, train)
+                elif self.gt_mode in (5, 6):
+                    g_out = GCNSpatialGTMap(
+                        proj, gt_mode=self.gt_mode,
+                        gt_activation=self.gt_act, g3_idx=self.g3_idx,
+                        out_channels2=self.gt_out_channels2,
                         **common)(x1, g_prior, train)
                 else:
                     raise NotImplementedError(f"gt_mode {self.gt_mode}")
@@ -611,6 +658,7 @@ class SGN(nn.Module):
     sgcn_gt_mode: int = 1
     sgcn_gt_act: int = 1
     sgcn_gt_g3_idx: int = 2
+    sgcn_gt_out_channels2: int = 512
     sgcn_attn_mode: int = 0
 
     gcn_fpn: int = -1       # -1 none | 0 parallel | 1 proj+sum | 7 (k=3)
@@ -729,6 +777,7 @@ class SGN(nn.Module):
             gt_act=self.sgcn_gt_act,
             g3_idx=self.sgcn_gt_g3_idx,
             attn_mode=self.sgcn_attn_mode,
+            gt_out_channels2=self.sgcn_gt_out_channels2,
             res_alpha=self.sgcn_g_res_alpha,
             residual=tuple(self.sgcn_residual),
             prenorm=self.sgcn_prenorm,
@@ -776,8 +825,19 @@ class SGN(nn.Module):
             # default: only the last level feeds the temporal module
             feats = [None] * (len(x_list) - 1) + [x_list[-1]]
 
+        if self.sgcn_gt_mode == 6:
+            # attention-map feature level gets its own temporal branch
+            # (sgn_v14.py:584-588, forward :955-956); multi_t must carry
+            # one extra entry
+            feats = feats + [g_list[0][1]]
+
         if tem_emb is not None and self.semantic_frame_location == 0:
-            feats = [f + tem_emb if f is not None else None for f in feats]
+            feats = [f + tem_emb
+                     if f is not None and (self.sgcn_gt_mode != 6
+                                           or i < len(feats) - 1
+                                           or f.shape[-1]
+                                           == tem_emb.shape[-1])
+                     else f for i, f in enumerate(feats)]
 
         # spatial pooling (modes 0/1/3/4/5, sgn_v14.py:663-722) ---------
         def vconv(feat_in, features, kernel, name):
@@ -837,6 +897,14 @@ class SGN(nn.Module):
                         shared_names[(j, k)] = name
                         shared_branches[name] = branch
                 outs.extend(branch(feats[i], train))
+        if self.sgcn_gt_mode == 5:
+            # attention-map head joins the prediction branches
+            # (sgn_v14.py forward :988-989)
+            outs.append(jnp.broadcast_to(
+                g_list[0][1],
+                g_list[0][1].shape[:-1] + (outs[0].shape[-1],))
+                if g_list[0][1].shape[-1] != outs[0].shape[-1]
+                else g_list[0][1])
         y = jnp.mean(jnp.stack(outs, 0), 0) if len(outs) > 1 else outs[0]
 
         # temporal pooling + classifier ---------------------------------
