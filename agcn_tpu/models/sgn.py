@@ -788,14 +788,40 @@ class SGN(nn.Module):
 
         # GCN-FPN: which levels feed the temporal module and how they are
         # merged (reference sgn_v14.py:862-929, modes doc :58-71)
+        def fpn_proj(dim, k, suffix=""):
+            return [TConv(dim, kernel_size=k, padding=k // 2,
+                          use_bias=self.use_bias,
+                          name=f"fpn_proj{i + 1}{suffix}")(xl)
+                    for i, xl in enumerate(x_list)]
+
         if self.gcn_fpn == 0:
             feats: List[Optional[jnp.ndarray]] = list(x_list)
         elif self.gcn_fpn in (1, 7):
             k = 3 if self.gcn_fpn == 7 else self.gcn_fpn_kernel
-            proj = [TConv(sgcn_dims[-1], kernel_size=k, padding=k // 2,
-                          use_bias=self.use_bias,
-                          name=f"fpn_proj{i + 1}")(xl)
-                    for i, xl in enumerate(x_list)]
+            proj = fpn_proj(sgcn_dims[-1], k)
+            feats = [sum(proj[i:]) for i in range(len(proj))]
+        elif self.gcn_fpn == 2:
+            proj = fpn_proj(sgcn_dims[0], self.gcn_fpn_kernel)
+            feats = [sum(proj[i:]) for i in range(len(proj))]
+        elif self.gcn_fpn == 3:
+            feats = fpn_proj(sgcn_dims[-1], self.gcn_fpn_kernel)
+        elif self.gcn_fpn == 4:
+            # proj then concat (post spatial pooling) into the last level
+            feats = fpn_proj(sgcn_dims[-1], self.gcn_fpn_kernel)
+        elif self.gcn_fpn == 5:
+            feats = fpn_proj(sgcn_dims[-1] // 4, self.gcn_fpn_kernel)
+        elif self.gcn_fpn == 6:
+            proj = fpn_proj(64, self.gcn_fpn_kernel)
+            feats = [sum(proj[i:]) for i in range(len(proj))]
+        elif self.gcn_fpn == 9:
+            # multi-kernel projections summed (reference mode 9)
+            kernels = (1, 3) if self.gcn_fpn_kernel == 1 \
+                else (self.gcn_fpn_kernel,)
+            proj = None
+            for k in kernels:
+                p = fpn_proj(sgcn_dims[-1], k, suffix=f"_k{k}")
+                proj = p if proj is None else [a + b
+                                               for a, b in zip(proj, p)]
             feats = [sum(proj[i:]) for i in range(len(proj))]
         elif self.gcn_fpn == 8:
             from agcn_tpu.ops.blocks import BiFPN
@@ -832,12 +858,13 @@ class SGN(nn.Module):
             feats = feats + [g_list[0][1]]
 
         if tem_emb is not None and self.semantic_frame_location == 0:
+            # add the frame embedding wherever the channel widths agree
+            # (FPN modes that change widths skip incompatible levels,
+            # matching the reference's constraint that those modes pair
+            # with location=1 or equal dims)
             feats = [f + tem_emb
-                     if f is not None and (self.sgcn_gt_mode != 6
-                                           or i < len(feats) - 1
-                                           or f.shape[-1]
-                                           == tem_emb.shape[-1])
-                     else f for i, f in enumerate(feats)]
+                     if f is not None and f.shape[-1] == tem_emb.shape[-1]
+                     else f for f in feats]
 
         # spatial pooling (modes 0/1/3/4/5, sgn_v14.py:663-722) ---------
         def vconv(feat_in, features, kernel, name):
@@ -867,6 +894,13 @@ class SGN(nn.Module):
             raise NotImplementedError("spatial_maxpool mode")
 
         feats = [smp(f, i) for i, f in enumerate(feats)]
+
+        if self.gcn_fpn in (4, 5):
+            # channel-concat all pooled levels into the last feature
+            # (sgn_v14.py forward :950-952)
+            feats = [None] * (len(feats) - 1) + [
+                jnp.concatenate([f for f in feats if f is not None],
+                                axis=-1)]
 
         # temporal branches ---------------------------------------------
         outs: List[jnp.ndarray] = []
