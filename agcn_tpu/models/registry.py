@@ -93,7 +93,6 @@ def build_model(name: str, model_args: Dict[str, Any]):
                   "sgcn_v_kernel",
                   "gcn_fpn_shared", "gcn_fpn_output_merge",
                   "t_maxpool_kwargs",
-                  "semantic_joint_smp",
                   "sgcn2_kernel", "sgcn2_padding", "sgcn2_dropout",
                   "sgcn2_residual", "sgcn2_prenorm", "sgcn2_ffn",
                   "sgcn2_v_kernel", "sgcn2_g_kernel", "sgcn2_g_proj_dim",

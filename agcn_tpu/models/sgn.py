@@ -641,6 +641,7 @@ class SGN(nn.Module):
     semantic_frame: int = 1
     semantic_class: int = 0
     semantic_jdiff: int = 0          # joint embedding fused into velocity
+    semantic_joint_smp: int = 0      # joint embedding concat before smp
     semantic_joint_fusion: int = 0   # 0 concat, 1 sum
     semantic_frame_location: int = 0  # 0 post-GCN, 1 pre-GCN
     xem_projection: int = 0          # pre-GCN projection embedding mode
@@ -892,6 +893,20 @@ class SGN(nn.Module):
                 y = vconv(f, c3, v, f"smp{idx}_k")
                 return vconv(y, c3, 1, f"smp{idx}_1x1")
             raise NotImplementedError("spatial_maxpool mode")
+
+        if self.semantic_joint_smp > 0:
+            # joint one-hot embedding concatenated on channels before the
+            # spatial pool (sgn_v14.py:623-641, forward :938-941)
+            smp_tab = jnp.broadcast_to(jnp.eye(v)[None, None],
+                                       (1, t, v, v))
+            smp_emb = SGNEmbedding(sgcn_dims[-1],
+                                   mode=self.semantic_joint_smp,
+                                   use_bias=self.use_bias,
+                                   name="joint_smp_embed")(smp_tab, train)
+            smp_emb = jnp.broadcast_to(smp_emb,
+                                       (b, t, v, sgcn_dims[-1]))
+            feats = [jnp.concatenate([f, smp_emb], axis=-1)
+                     if f is not None else None for f in feats]
 
         feats = [smp(f, i) for i, f in enumerate(feats)]
 
