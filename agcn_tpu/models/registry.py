@@ -92,7 +92,6 @@ def build_model(name: str, model_args: Dict[str, Any]):
                   "sgcn_kernel", "sgcn_padding", "sgcn_g_kernel",
                   "sgcn_v_kernel",
                   "gcn_fpn_shared", "gcn_fpn_output_merge",
-                  "t_maxpool_kwargs",
                   "sgcn2_kernel", "sgcn2_padding", "sgcn2_dropout",
                   "sgcn2_residual", "sgcn2_prenorm", "sgcn2_ffn",
                   "sgcn2_v_kernel", "sgcn2_g_kernel", "sgcn2_g_proj_dim",

@@ -517,9 +517,18 @@ class TemporalBranchMLP(nn.Module):
     dropout: float = 0.0
     prenorm: bool = False
     use_bias: bool = True
+    maxpool_kwargs: Optional[dict] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        if self.maxpool_kwargs:
+            # pre-branch temporal max pool (blocks/temporal.py:116-119,
+            # torch MaxPool2d over the time axis)
+            ks = self.maxpool_kwargs.get("kernel_size", [1, 1])
+            st = self.maxpool_kwargs.get("stride", ks)
+            kt = ks[-1] if isinstance(ks, (list, tuple)) else ks
+            stt = st[-1] if isinstance(st, (list, tuple)) else st
+            x = nn.max_pool(x, window_shape=(kt, 1), strides=(stt, 1))
         in_c = x.shape[-1]
         resid = 1 if self.t_mode == 2 else 0
         y = ConvNormAct(in_c, kernel_size=self.kernel_size,
@@ -555,6 +564,7 @@ class TemporalBranch(nn.Module):
     use_bias: bool = True
     aspp_rates: Optional[Sequence[int]] = None
     mha_kwargs: Optional[dict] = None
+    maxpool_kwargs: Optional[dict] = None
     decomp_kernel_size: int = 3
     pool_kernel_sizes: Sequence[int] = (3, 5, 7, 9)
 
@@ -572,6 +582,7 @@ class TemporalBranch(nn.Module):
             return [TemporalBranchMLP(
                 self.out_channels, self.kernel_size, self.t_mode,
                 self.dropout, self.prenorm, self.use_bias,
+                maxpool_kwargs=self.maxpool_kwargs,
                 name="cnn")(x, train)]
         if self.t_mode == 3:
             kw = dict(self.mha_kwargs or {})
@@ -675,6 +686,7 @@ class SGN(nn.Module):
     multi_t_shared: int = 0  # 0 none, 2 inter-layer share
     t_mode: int = 1
     t_mha_kwargs: Optional[dict] = None
+    t_maxpool_kwargs: Optional[dict] = None
     aspp_rates: Optional[Sequence[int]] = None
     decomp_kernel_size: int = 3
     pool_kernel_sizes: Sequence[int] = (3, 5, 7, 9)
@@ -939,6 +951,7 @@ class SGN(nn.Module):
                         use_bias=self.use_bias,
                         aspp_rates=self.aspp_rates,
                         mha_kwargs=self.t_mha_kwargs,
+                        maxpool_kwargs=self.t_maxpool_kwargs,
                         decomp_kernel_size=self.decomp_kernel_size,
                         pool_kernel_sizes=tuple(self.pool_kernel_sizes),
                         name=name)
@@ -968,6 +981,14 @@ class SGN(nn.Module):
 
         if self.temporal_maxpool == 1:
             y = jnp.max(y, axis=1, keepdims=True)
+        elif self.temporal_maxpool == 2:
+            # max pool + argmax-index re-embedding projection
+            # (sgn_v14.py:726-731, :1010-1016)
+            idx = jnp.argmax(y, axis=1, keepdims=True).astype(jnp.float32)
+            y = jnp.max(y, axis=1, keepdims=True)
+            proj = ConvNormAct(y.shape[-1], use_bias=self.use_bias,
+                               name="tmp_ind_projection")(idx, train)
+            y = y + proj
         elif self.temporal_maxpool == 3:
             y = tconv_pool(y, y.shape[1], "tmp_k")
         elif self.temporal_maxpool == 4:
