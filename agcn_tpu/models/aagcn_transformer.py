@@ -52,6 +52,7 @@ class AAGCNTransformer(nn.Module):
     pre_norm: bool = True
     pos_enc: str = "abs"          # 'abs' | 'cos' | 'none'
     use_cls_token: bool = True
+    cross_fusion: bool = False    # v37-style CLS cross-attention (dual)
     sync_axis: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
 
@@ -126,6 +127,12 @@ class AAGCNTransformer(nn.Module):
             s_tokens = self._with_cls(s_tokens, "cls_token_s")
             s_enc, s_attn = self._encode(s_tokens, "spatial_encoder",
                                          train)
+            if self.cross_fusion and self.use_cls_token:
+                from agcn_tpu.ops.attention import CrossTransformer
+
+                t_enc, s_enc = CrossTransformer(
+                    num_heads=self.num_heads,
+                    name="cross_fusion")(t_enc, s_enc)
             feat = jnp.concatenate(
                 [self._readout(t_enc), self._readout(s_enc)], axis=-1)
             aux["attn"] = {"temporal": t_attn, "spatial": s_attn}

@@ -175,6 +175,66 @@ class TransformerEncoderLayer(nn.Module):
         return x, attn
 
 
+class CrossAttention(nn.Module):
+    """Cross-attention: queries from one stream attend over another
+    (reference crossattention.py Attention with context)."""
+
+    num_heads: int
+    dim_head: int = 64
+
+    @nn.compact
+    def __call__(self, q_tokens: jnp.ndarray, kv_tokens: jnp.ndarray
+                 ) -> jnp.ndarray:
+        d = self.num_heads * self.dim_head
+        q = nn.Dense(d, use_bias=False, name="to_q")(q_tokens)
+        k = nn.Dense(d, use_bias=False, name="to_k")(kv_tokens)
+        v = nn.Dense(d, use_bias=False, name="to_v")(kv_tokens)
+
+        def split(x):
+            b, t, _ = x.shape
+            return x.reshape(b, t, self.num_heads,
+                             self.dim_head).transpose(0, 2, 1, 3)
+
+        qh, kh, vh = split(q), split(k), split(v)
+        attn = jax.nn.softmax(
+            jnp.einsum("bhqd,bhkd->bhqk", qh, kh)
+            / jnp.sqrt(self.dim_head), axis=-1)
+        out = jnp.einsum("bhqk,bhkd->bhqd", attn, vh)
+        b, _, t, _ = out.shape
+        out = out.transpose(0, 2, 1, 3).reshape(b, t, d)
+        return nn.Dense(q_tokens.shape[-1], name="to_out")(out)
+
+
+class CrossTransformer(nn.Module):
+    """CrossViT-style dual-stream fusion (reference crossattention.py
+    CrossTransformer): each stream's CLS token attends over the OTHER
+    stream's patch tokens, then returns to its stream."""
+
+    num_heads: int = 8
+    dim_head: int = 64
+    depth: int = 1
+
+    @nn.compact
+    def __call__(self, a_tokens: jnp.ndarray, b_tokens: jnp.ndarray):
+        """a_tokens/b_tokens: (B, 1+T, D) sequences with CLS at index 0."""
+        for i in range(self.depth):
+            a_cls, a_rest = a_tokens[:, :1], a_tokens[:, 1:]
+            b_cls, b_rest = b_tokens[:, :1], b_tokens[:, 1:]
+            a_cls = a_cls + CrossAttention(
+                self.num_heads, self.dim_head,
+                name=f"a_attends_b{i + 1}")(
+                nn.LayerNorm(name=f"norm_a{i + 1}")(a_cls),
+                jnp.concatenate([a_cls, b_rest], axis=1))
+            b_cls = b_cls + CrossAttention(
+                self.num_heads, self.dim_head,
+                name=f"b_attends_a{i + 1}")(
+                nn.LayerNorm(name=f"norm_b{i + 1}")(b_cls),
+                jnp.concatenate([b_cls, a_rest], axis=1))
+            a_tokens = jnp.concatenate([a_cls, a_rest], axis=1)
+            b_tokens = jnp.concatenate([b_cls, b_rest], axis=1)
+        return a_tokens, b_tokens
+
+
 class TransformerEncoder(nn.Module):
     """Stack of encoder layers; returns (output, [per-layer attention])."""
 

@@ -52,3 +52,31 @@ def test_registry_resolves_transformer_aliases():
                       "model_layers": 101, "num_layers": 1,
                       "num_heads": 2, "dim_feedforward": 64})
     assert isinstance(m2, AAGCNTransformer)
+
+
+def test_cross_transformer_fusion():
+    from agcn_tpu.ops.attention import CrossTransformer
+
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.standard_normal((2, 9, 32)).astype(np.float32))
+    b = jnp.asarray(rng.standard_normal((2, 13, 32)).astype(np.float32))
+    ct = CrossTransformer(num_heads=4, depth=2)
+    v = ct.init(jax.random.PRNGKey(0), a, b)
+    a2, b2 = ct.apply(v, a, b)
+    assert a2.shape == a.shape and b2.shape == b.shape
+    # only the CLS tokens change
+    np.testing.assert_allclose(np.asarray(a2[:, 1:]), np.asarray(a[:, 1:]))
+    assert not np.allclose(np.asarray(a2[:, 0]), np.asarray(a[:, 0]))
+
+
+def test_aagcn_transformer_cross_fusion():
+    adj = build_adjacency("ntu_rgb_d")
+    m = AAGCNTransformer(num_class=7, adj=adj, mode="dual",
+                         model_layers=101, num_layers=1, num_heads=4,
+                         dim_feedforward=64, cross_fusion=True)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (2, 3, 32, 25, 2)).astype(np.float32))
+    v = m.init(jax.random.PRNGKey(0), x, train=False)
+    out, _ = m.apply(v, x, train=False,
+                     rngs={"dropout": jax.random.PRNGKey(1)})
+    assert out.shape == (2, 7)
