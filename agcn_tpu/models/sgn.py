@@ -933,6 +933,15 @@ class SGN(nn.Module):
         outs: List[jnp.ndarray] = []
         shared_names = {}
         shared_branches = {}
+        if self.multi_t_shared == 2:
+            # shared branch is named after the FIRST level declaring this
+            # (slot, kernel) pair — matching the reference's __init__-time
+            # module creation order (sgn_v14.py:614-636), independent of
+            # which levels actually produce features
+            for i0, kernels0 in enumerate(self.multi_t):
+                for j0, k0 in enumerate(kernels0):
+                    shared_names.setdefault(
+                        (j0, k0), f"tem{i0 + 1}_{j0 + 1}_k{k0}")
         for i, kernels in enumerate(self.multi_t):
             for j, k in enumerate(kernels):
                 if feats[i] is None:
@@ -941,8 +950,8 @@ class SGN(nn.Module):
                 if self.multi_t_shared == 2:
                     # inter-layer sharing: one module instance reused
                     # (reference multi_t_shared==2, sgn_v14.py:614-636)
-                    name = shared_names.get((j, k), name)
-                if name in shared_names.values():
+                    name = shared_names[(j, k)]
+                if name in shared_branches:
                     branch = shared_branches[name]
                 else:
                     branch = TemporalBranch(
@@ -956,7 +965,6 @@ class SGN(nn.Module):
                         pool_kernel_sizes=tuple(self.pool_kernel_sizes),
                         name=name)
                     if self.multi_t_shared == 2:
-                        shared_names[(j, k)] = name
                         shared_branches[name] = branch
                 outs.extend(branch(feats[i], train))
         if self.sgcn_gt_mode == 5:

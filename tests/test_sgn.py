@@ -87,12 +87,15 @@ def _ours_from(kwargs):
         sgcn_dims=tuple(kwargs["sgcn_dims"]),
         sgcn_residual=tuple(kwargs["sgcn_residual"]),
         sgcn_prenorm=kwargs["sgcn_prenorm"],
-        sgcn_g_proj_dim=kwargs["sgcn_g_proj_dim"],
+        sgcn_g_proj_dim=tuple(kwargs["sgcn_g_proj_dim"])
+        if isinstance(kwargs["sgcn_g_proj_dim"], list)
+        else kwargs["sgcn_g_proj_dim"],
         sgcn_g_proj_shared=kwargs["sgcn_g_proj_shared"],
         sgcn_gt_mode=kwargs.get("sgcn_gt_mode", 1),
         spatial_maxpool=kwargs["spatial_maxpool"],
         temporal_maxpool=kwargs["temporal_maxpool"],
         multi_t=tuple(tuple(t) for t in kwargs["multi_t"]),
+        multi_t_shared=kwargs.get("multi_t_shared", 0),
         t_mode=kwargs["t_mode"],
     )
 
@@ -102,6 +105,8 @@ def _ours_from(kwargs):
     dict(),                     # shipped train_sgn_v14.yaml (gt_mode 1)
     dict(sgcn_gt_mode=0),       # original-SGN G attention
     dict(multi_t=[[], [], [3, 5, 7]]),
+    dict(sgcn_g_proj_dim=[256, 256, 256]),   # per-layer G
+    dict(multi_t=[[3], [3], [3]], multi_t_shared=2),
 ])
 def test_parity_vs_torch_reference(overrides):
     import torch
