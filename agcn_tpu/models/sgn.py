@@ -280,7 +280,10 @@ class GCNSpatialGTScalar(nn.Module):
                          kernel_init=init.torch_default_kernel,
                          name="g3")(flat)[..., 0, 0]  # (B, T)
         else:
-            s = FrameScalarMLP(c, depth=self.g3_idx,
+            # GT3 keeps the C*V width through the MLP; GT4 narrows to C
+            # (blocks/spatial.py GT3 :100-106 vs GT4 :183-189)
+            hidden = v * c if self.gt_mode == 3 else c
+            s = FrameScalarMLP(hidden, depth=self.g3_idx,
                                use_bias=self.use_bias,
                                name="g3")(flat, train)
         if self.gt_activation == 1:

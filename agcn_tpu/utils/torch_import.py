@@ -205,12 +205,64 @@ def sgn_variables_from_torch(sd: Mapping[str, Any]) -> Dict[str, Dict]:
     embedding("semantic_embedding.cls_embedding", "class_embed")
 
     # spatial GCN block -------------------------------------------------
+    def cv_to_vc(w, num_point=25):
+        """Reorder a kernel whose input features are (c, v)-flattened to
+        our (v, c) order. w: (in=c*v, out) dense kernel."""
+        cin = w.shape[0] // num_point
+        return w.reshape(cin, num_point, -1).transpose(1, 0, 2).reshape(
+            w.shape)
+
     i = 1
     while f"sgcn.gcn_g{i}.g1.block.conv.conv.weight" in sd:
         for gname in ("g1", "g2", "g3", "g4"):
             if f"sgcn.gcn_g{i}.{gname}.block.conv.conv.weight" in sd:
                 plain_conv(f"sgcn.gcn_g{i}.{gname}",
                            ("sgcn", f"g{i}", gname))
+        # GT2: per-frame scalar Linear over (c*v) features
+        if f"sgcn.gcn_g{i}.g3.weight" in sd:
+            _set(tree["params"], ("sgcn", f"g{i}", "g3", "kernel"),
+                 cv_to_vc(linear_kernel(sd[f"sgcn.gcn_g{i}.g3.weight"])))
+            if f"sgcn.gcn_g{i}.g3.bias" in sd:
+                _set(tree["params"], ("sgcn", f"g{i}", "g3", "bias"),
+                     sd[f"sgcn.gcn_g{i}.g3.bias"])
+        # GT3/GT4: per-frame scalar MLPTemporal over (c*v) features
+        li = 1
+        while f"sgcn.gcn_g{i}.g3.cnn{li}.block.conv.conv.weight" in sd:
+            prefix = f"sgcn.gcn_g{i}.g3.cnn{li}"
+            w = sd[f"{prefix}.block.conv.conv.weight"]
+            k = w.shape[-1]
+            if k == 1:
+                conv = pointwise_kernel(w)
+            else:
+                conv = np.transpose(w, (3, 2, 1, 0))
+            if li == 1:
+                # first layer consumes the (c, v)-flattened features
+                if conv.ndim == 4:
+                    kk, one, cin_all, outd = conv.shape
+                    flat = conv.reshape(kk * one, cin_all, outd)
+                    conv = np.stack([cv_to_vc(c) for c in flat]).reshape(
+                        kk, one, cin_all, outd)
+                else:
+                    conv = cv_to_vc(conv)
+            is_last = f"sgcn.gcn_g{i}.g3.cnn{li + 1}." \
+                      f"block.conv.conv.weight" not in sd
+            if is_last:
+                path = ("sgcn", f"g{i}", "g3", f"cnn{li}", "conv")
+                _set(tree["params"], path + ("kernel",), conv)
+                if f"{prefix}.block.conv.conv.bias" in sd:
+                    _set(tree["params"], path + ("bias",),
+                         sd[f"{prefix}.block.conv.conv.bias"])
+            else:
+                path = ("sgcn", f"g{i}", "g3", f"cnn{li}")
+                _set(tree["params"], path + ("cnn", "conv", "kernel"),
+                     conv)
+                if f"{prefix}.block.conv.conv.bias" in sd:
+                    _set(tree["params"], path + ("cnn", "conv", "bias"),
+                         sd[f"{prefix}.block.conv.conv.bias"])
+                if f"{prefix}.block.norm.weight" in sd:
+                    _bn(tree, path + ("norm",), path + ("norm",), sd,
+                        f"{prefix}.block.norm")
+            li += 1
         if f"sgcn.gcn_g{i}.alpha" in sd:
             _set(tree["params"], ("sgcn", f"g{i}", "alpha"),
                  sd[f"sgcn.gcn_g{i}.alpha"])

@@ -92,6 +92,7 @@ def _ours_from(kwargs):
         else kwargs["sgcn_g_proj_dim"],
         sgcn_g_proj_shared=kwargs["sgcn_g_proj_shared"],
         sgcn_gt_mode=kwargs.get("sgcn_gt_mode", 1),
+        sgcn_gt_act=kwargs.get("sgcn_gt_act", 1),
         spatial_maxpool=kwargs["spatial_maxpool"],
         temporal_maxpool=kwargs["temporal_maxpool"],
         multi_t=tuple(tuple(t) for t in kwargs["multi_t"]),
@@ -107,6 +108,9 @@ def _ours_from(kwargs):
     dict(multi_t=[[], [], [3, 5, 7]]),
     dict(sgcn_g_proj_dim=[256, 256, 256]),   # per-layer G
     dict(multi_t=[[3], [3], [3]], multi_t_shared=2),
+    dict(sgcn_gt_mode=2),
+    dict(sgcn_gt_mode=3),
+    dict(sgcn_gt_mode=4, sgcn_gt_act=2),
 ])
 def test_parity_vs_torch_reference(overrides):
     import torch
