@@ -108,7 +108,8 @@ class Trainer:
             self.datasets["train"] = ds
             self.loaders["train"] = BatchIterator(
                 ds, cfg.batch_size, shuffle=True, drop_last=True,
-                seed=cfg.seed, collate=collate, **shard_kwargs)
+                seed=cfg.seed, collate=collate,
+                num_workers=cfg.num_worker, **shard_kwargs)
         if cfg.test_feeder_args:
             if self.is_sgn:
                 ds = SGNDataset(**cfg.test_feeder_args)

@@ -148,3 +148,16 @@ def test_sgn_pipeline_end_to_end(tmp_path):
                        collate=make_sgn_collate(sampler, train=True))
     x, y, idx = next(iter(it))
     assert x.shape == (5, 20, 75)
+
+
+def test_pipeline_workers_match_serial(tmp_path):
+    dp, lp = _make_dense_dataset(tmp_path)
+    ds = SkeletonDataset(dp, lp, window_size=16)
+    serial = BatchIterator(ds, batch_size=4, shuffle=True, seed=3,
+                           prefetch=0, num_workers=0)
+    threaded = BatchIterator(ds, batch_size=4, shuffle=True, seed=3,
+                             prefetch=0, num_workers=4)
+    for (x1, y1, i1), (x2, y2, i2) in zip(serial, threaded):
+        np.testing.assert_array_equal(i1, i2)
+        np.testing.assert_array_equal(y1, y2)
+        assert x1.shape == x2.shape
