@@ -1,0 +1,58 @@
+"""Op-library unit tests: aggregation semantics, attention axes, fused
+static operator equivalence."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from agcn_tpu.graph import build_adjacency
+from agcn_tpu.ops import (aggregate, apply_fused_static, embedding_attention,
+                          frame_aggregate, frame_attention,
+                          fused_static_operator)
+
+
+def test_aggregate_matches_manual():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 4, 25, 8)).astype(np.float32))
+    a = jnp.asarray(build_adjacency("ntu_rgb_d")[1])
+    out = aggregate(x, a)
+    ref = np.einsum("btvc,vw->btwc", np.asarray(x), np.asarray(a))
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)
+
+
+def test_embedding_attention_normalizes_source_axis():
+    rng = np.random.default_rng(0)
+    th = jnp.asarray(rng.standard_normal((2, 4, 25, 8)).astype(np.float32))
+    ph = jnp.asarray(rng.standard_normal((2, 4, 25, 8)).astype(np.float32))
+    att = embedding_attention(th, ph)
+    assert att.shape == (2, 25, 25)
+    # softmax over the SOURCE axis (reference agcn.py:101, dim=-2):
+    # each destination column sums to 1
+    np.testing.assert_allclose(np.asarray(att).sum(axis=-2), 1.0,
+                               atol=1e-5)
+
+
+def test_frame_attention_and_aggregate():
+    rng = np.random.default_rng(0)
+    g1 = jnp.asarray(rng.standard_normal((2, 4, 25, 8)).astype(np.float32))
+    g2 = jnp.asarray(rng.standard_normal((2, 4, 25, 8)).astype(np.float32))
+    g = frame_attention(g1, g2)
+    # softmax over the last axis (SGN convention, spatial.py:237)
+    np.testing.assert_allclose(np.asarray(g).sum(axis=-1), 1.0, atol=1e-5)
+    x = jnp.asarray(rng.standard_normal((2, 4, 25, 8)).astype(np.float32))
+    out = frame_aggregate(x, g)
+    ref = np.einsum("btvw,btwc->btvc", np.asarray(g), np.asarray(x))
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)
+
+
+def test_fused_static_operator_equivalence():
+    rng = np.random.default_rng(0)
+    adj = jnp.asarray(build_adjacency("ntu_rgb_d"))
+    x = jnp.asarray(rng.standard_normal((2, 4, 25, 8)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((3, 8, 16)).astype(np.float32))
+    op = fused_static_operator(adj, w)
+    out = apply_fused_static(x, op, 25)
+    ref = sum(np.einsum("btvc,vw->btwc", np.asarray(x),
+                        np.asarray(adj[k])) @ np.asarray(w[k])
+              for k in range(3))
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-4)
