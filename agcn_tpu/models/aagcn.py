@@ -134,14 +134,16 @@ class AdaptiveGCN(nn.Module):
         att = att.astype(compute.dtype)  # (B, K, V, V)
         a1 = pa[None].astype(att.dtype) + att * alpha.astype(att.dtype)
 
-        agg = jnp.einsum("btvc,bkvw->btwkc", compute, a1)
-        agg = agg.reshape(b, t, v, num_subset * in_c)
-        out_w = jnp.concatenate(k_d, axis=0)
+        # project-first form (see models/agcn.py UnitGCN): exact commute,
+        # ~2.6x faster than aggregate-then-project on TPU
+        out_w = jnp.concatenate(k_d, axis=-1)  # (C, K*Co)
         out_b = sum(b_d)
         if self.dtype is not None:
             out_w = out_w.astype(self.dtype)
             out_b = out_b.astype(self.dtype)
-        return agg @ out_w + out_b
+        p = (compute @ out_w).reshape(b, t, v, num_subset,
+                                      self.out_channels)
+        return jnp.einsum("btvko,bkvw->btwo", p, a1) + out_b
 
 
 class NonAdaptiveGCN(nn.Module):
