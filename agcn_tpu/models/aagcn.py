@@ -90,7 +90,7 @@ class AdaptiveGCN(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         num_subset = self.adj.shape[0]
         in_c = x.shape[-1]
         inter_c = self.inter_channels
@@ -134,16 +134,24 @@ class AdaptiveGCN(nn.Module):
         att = att.astype(compute.dtype)  # (B, K, V, V)
         a1 = pa[None].astype(att.dtype) + att * alpha.astype(att.dtype)
 
-        # project-first form (see models/agcn.py UnitGCN): exact commute,
-        # ~2.6x faster than aggregate-then-project on TPU
-        out_w = jnp.concatenate(k_d, axis=-1)  # (C, K*Co)
         out_b = sum(b_d)
+        if not train:
+            # inference: project-first form (see models/agcn.py UnitGCN):
+            # exact commute, ~2.6x faster forward on TPU
+            out_w = jnp.concatenate(k_d, axis=-1)  # (C, K*Co)
+            if self.dtype is not None:
+                out_w = out_w.astype(self.dtype)
+                out_b = out_b.astype(self.dtype)
+            p = (compute @ out_w).reshape(b, t, v, num_subset,
+                                          self.out_channels)
+            return jnp.einsum("btvko,bkvw->btwo", p, a1) + out_b
+        agg = jnp.einsum("btvc,bkvw->btwkc", compute, a1)
+        agg = agg.reshape(b, t, v, num_subset * in_c)
+        out_w = jnp.concatenate(k_d, axis=0)
         if self.dtype is not None:
             out_w = out_w.astype(self.dtype)
             out_b = out_b.astype(self.dtype)
-        p = (compute @ out_w).reshape(b, t, v, num_subset,
-                                      self.out_channels)
-        return jnp.einsum("btvko,bkvw->btwo", p, a1) + out_b
+        return agg @ out_w + out_b
 
 
 class NonAdaptiveGCN(nn.Module):
@@ -199,8 +207,12 @@ class GCNUnit(nn.Module):
         in_c = x.shape[-1]
         inter_c = self.out_channels // self.coff_embedding
         gcn_cls = AdaptiveGCN if self.adaptive else NonAdaptiveGCN
-        y = gcn_cls(self.out_channels, inter_c, self.adj,
-                    dtype=self.dtype, name="agcn")(x)
+        if self.adaptive:
+            y = gcn_cls(self.out_channels, inter_c, self.adj,
+                        dtype=self.dtype, name="agcn")(x, train)
+        else:
+            y = gcn_cls(self.out_channels, inter_c, self.adj,
+                        dtype=self.dtype, name="agcn")(x)
         y = BatchNorm(scale_init_value=1e-6, axis_name=self.sync_axis,
                       splits=self.gbn_split, name="bn")(y, train)
         if in_c != self.out_channels:
