@@ -40,7 +40,8 @@ def test_fc_cv_and_ln_norm():
     assert logits.shape == (2, 5)
 
 
-def _torch_ref_model(adaptive=True, attention=True, model_layers=10):
+def _torch_ref_model(adaptive=True, attention=True, model_layers=10,
+                     fc_cv=False):
     add_reference_to_path()
     import torch
     from model.architecture.aagcn.aagcn import Model as TorchAAGCN
@@ -49,17 +50,20 @@ def _torch_ref_model(adaptive=True, attention=True, model_layers=10):
     return TorchAAGCN(num_class=60, graph="graph.ntu_rgb_d.Graph",
                       graph_args={"labeling_mode": "spatial"},
                       adaptive=adaptive, attention=attention,
-                      model_layers=model_layers)
+                      model_layers=model_layers, fc_cv=fc_cv)
 
 
 @pytest.mark.skipif(not reference_available(), reason="reference not mounted")
-@pytest.mark.parametrize("adaptive,attention,model_layers",
-                         [(True, True, 10), (True, False, 3),
-                          (False, True, 3)])
-def test_parity_vs_torch_reference(adaptive, attention, model_layers):
+@pytest.mark.parametrize("adaptive,attention,model_layers,fc_cv",
+                         [(True, True, 10, False), (True, False, 3, False),
+                          (False, True, 3, False), (True, True, 6, False),
+                          (True, True, 7, True)])
+def test_parity_vs_torch_reference(adaptive, attention, model_layers,
+                                   fc_cv):
     import torch
 
-    ref = _torch_ref_model(adaptive, attention, model_layers).eval()
+    ref = _torch_ref_model(adaptive, attention, model_layers,
+                           fc_cv).eval()
     x_np = small_inputs(n=2, t=16)
     with torch.no_grad():
         ref_out, _ = ref(torch.from_numpy(x_np))
@@ -67,7 +71,8 @@ def test_parity_vs_torch_reference(adaptive, attention, model_layers):
 
     adj = build_adjacency("ntu_rgb_d")
     model = AAGCN(num_class=60, adj=adj, adaptive=adaptive,
-                  attention=attention, model_layers=model_layers)
+                  attention=attention, model_layers=model_layers,
+                  fc_cv=fc_cv)
     variables = aagcn_variables_from_torch(ref.state_dict(),
                                            adaptive=adaptive)
     ours, _ = model.apply(variables, jnp.asarray(x_np), train=False)
