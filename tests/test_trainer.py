@@ -161,3 +161,27 @@ def test_opt_state_resume_and_llrd(tmp_path):
     tr = Trainer(cfg2)
     assert int(tr.state.step) > 0  # optimizer state restored
     tr.start()
+
+
+def test_trainer_data_parallel_mesh(tmp_path):
+    """Trainer end-to-end on a 2-device data-parallel mesh (the DDP
+    workflow): must run and match the single-device result exactly
+    (DDP-equivalence at the workflow level)."""
+    from agcn_tpu.train.trainer import Trainer
+
+    dp, lp = _dense_data(tmp_path)
+    cfg1 = _make_cfg(tmp_path, dp, lp, mesh_data=1, num_epoch=2)
+    cfg1.work_dir = str(tmp_path / "work_1dev")
+    t1 = Trainer(cfg1)
+    t1.start()
+
+    cfg2 = _make_cfg(tmp_path, dp, lp, mesh_data=2, num_epoch=2)
+    cfg2.work_dir = str(tmp_path / "work_dp")
+    t2 = Trainer(cfg2)
+    assert t2.n_data_shards == 2
+    t2.start()
+
+    assert abs(t1.best_acc - t2.best_acc) < 1e-9
+    p1 = np.asarray(t1.state.params["fc"]["kernel"])
+    p2 = np.asarray(t2.state.params["fc"]["kernel"])
+    np.testing.assert_allclose(p1, p2, atol=1e-4)
