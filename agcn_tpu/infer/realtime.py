@@ -64,6 +64,7 @@ class ActionRecognition:
             lambda v, x: model.apply(v, x, train=False))
         self.rng = np.random.default_rng(0)
         self.last_latency_ms = 0.0
+        self.last_attention = None  # G matrices from the last predict
 
     def append_frame(self, frame: np.ndarray):
         """frame: (M, 1, V, C) joints for the current timestep."""
@@ -81,7 +82,16 @@ class ActionRecognition:
             x = self.preproc.dense_input(self.num_skels,
                                          normalize=self.normalize)
         out = self._forward(self.variables, jnp.asarray(x))
-        logits = np.asarray(out[0] if isinstance(out, tuple) else out)
+        if isinstance(out, tuple):
+            logits = np.asarray(out[0])
+            aux = out[1]
+            # expose the spatial attention (G) for live visualization
+            # (reference infer/inference_220802.py:518-560)
+            if isinstance(aux, dict) and aux.get("g"):
+                self.last_attention = [np.asarray(g[0])
+                                       for g in aux["g"]]
+        else:
+            logits = np.asarray(out)
         if self.multi_test > 1:
             logits = logits.reshape(-1, self.multi_test,
                                     logits.shape[-1]).mean(axis=1)

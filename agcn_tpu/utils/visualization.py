@@ -73,3 +73,27 @@ def visualize_skeleton(data: np.ndarray,
         anim.save(save_path)
         plt.close(fig)
     return anim
+
+
+def plot_attention(g: np.ndarray, save_path: Optional[str] = None,
+                   title: str = "G"):
+    """Heatmap of a (V, V) or (T, V, V) attention matrix (the reference
+    demo's live G-matrix plot, infer/inference_220802.py:518-560)."""
+    import matplotlib
+    if save_path:
+        matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    g = np.asarray(g)
+    if g.ndim == 3:      # per-frame attention -> average over frames
+        g = g.mean(axis=0)
+    fig, ax = plt.subplots()
+    im = ax.imshow(g, cmap="viridis")
+    ax.set_title(title)
+    ax.set_xlabel("destination joint")
+    ax.set_ylabel("source joint")
+    fig.colorbar(im)
+    if save_path:
+        fig.savefig(save_path, dpi=150, bbox_inches="tight")
+        plt.close(fig)
+    return fig

@@ -66,3 +66,25 @@ def test_sgn_recognizer_multi_crop():
     label, probs = rec.predict()
     assert 0 <= label < 5
     assert rec.last_latency_ms > 0
+
+
+def test_sgn_recognizer_exposes_attention(tmp_path):
+    model = SGN(num_class=5, num_segment=20)
+    x0 = np.zeros((1, 20, 75), np.float32)
+    variables = model.init(jax.random.PRNGKey(0), x0, train=False)
+    rec = ActionRecognition(model, variables, kind="sgn",
+                            max_seq_length=64, normalize=False,
+                            sgn_dataloader_args={"seg": 20})
+    rng = np.random.default_rng(0)
+    for _ in range(25):
+        rec.append_frame(rng.standard_normal((2, 1, 25, 3)).astype(
+            np.float32))
+    rec.predict()
+    assert rec.last_attention is not None
+    assert rec.last_attention[0].shape[-2:] == (25, 25)
+
+    from agcn_tpu.utils.visualization import plot_attention
+
+    out = tmp_path / "g.png"
+    plot_attention(rec.last_attention[0][0], save_path=str(out))
+    assert out.exists()
