@@ -135,23 +135,13 @@ class AdaptiveGCN(nn.Module):
         a1 = pa[None].astype(att.dtype) + att * alpha.astype(att.dtype)
 
         out_b = sum(b_d)
-        if not train:
-            # inference: project-first form (see models/agcn.py UnitGCN):
-            # exact commute, ~2.6x faster forward on TPU
-            out_w = jnp.concatenate(k_d, axis=-1)  # (C, K*Co)
-            if self.dtype is not None:
-                out_w = out_w.astype(self.dtype)
-                out_b = out_b.astype(self.dtype)
-            p = (compute @ out_w).reshape(b, t, v, num_subset,
-                                          self.out_channels)
-            return jnp.einsum("btvko,bkvw->btwo", p, a1) + out_b
-        agg = jnp.einsum("btvc,bkvw->btwkc", compute, a1)
-        agg = agg.reshape(b, t, v, num_subset * in_c)
-        out_w = jnp.concatenate(k_d, axis=0)
+        # project-first with hand-tuned VJP (ops/gcn.py adaptive_gcn):
+        # fast forward AND backward
+        w_stack = jnp.stack(k_d)  # (K, C, Co)
         if self.dtype is not None:
-            out_w = out_w.astype(self.dtype)
+            w_stack = w_stack.astype(self.dtype)
             out_b = out_b.astype(self.dtype)
-        return agg @ out_w + out_b
+        return gcn_ops.adaptive_gcn(compute, a1, w_stack) + out_b
 
 
 class NonAdaptiveGCN(nn.Module):

@@ -26,6 +26,7 @@ import numpy as np
 from flax import linen as nn
 
 from agcn_tpu.ops import BatchNorm, PointwiseConv, TemporalConv
+from agcn_tpu.ops import gcn as gcn_ops
 from agcn_tpu.ops import initializers as init
 
 
@@ -104,26 +105,14 @@ class UnitGCN(nn.Module):
                 w_stack = w_stack.astype(self.dtype)
                 out_b = out_b.astype(self.dtype)
             y = fused_gcn(compute, a1, w_stack) + out_b
-        elif not train:
-            # inference: project FIRST (one wide GEMM), then contract
-            # (subset, joint) jointly — exact commute with the reference
-            # order and ~2.6x faster forward (PERF.md). Training keeps the
-            # aggregate-then-project form whose backward is cheaper.
-            out_w = jnp.concatenate(k_d, axis=-1)  # (C, K*Co)
-            if self.dtype is not None:
-                out_w = out_w.astype(self.dtype)
-                out_b = out_b.astype(self.dtype)
-            p = (compute @ out_w).reshape(b, t, v, num_subset,
-                                          self.out_channels)
-            y = jnp.einsum("btvko,bkvw->btwo", p, a1) + out_b
         else:
-            agg = jnp.einsum("btvc,bkvw->btwkc", compute, a1)
-            agg = agg.reshape(b, t, v, num_subset * in_c)
-            out_w = jnp.concatenate(k_d, axis=0)  # (K*C, Co)
+            # project-first formulation with a hand-tuned VJP: fast in both
+            # directions (ops/gcn.py adaptive_gcn; PERF.md round 2)
+            w_stack = jnp.stack(k_d)  # (K, C, Co)
             if self.dtype is not None:
-                out_w = out_w.astype(self.dtype)
+                w_stack = w_stack.astype(self.dtype)
                 out_b = out_b.astype(self.dtype)
-            y = agg @ out_w + out_b
+            y = gcn_ops.adaptive_gcn(compute, a1, w_stack) + out_b
 
         y = BatchNorm(scale_init_value=1e-6, axis_name=self.sync_axis,
                       name="bn")(y, train)

@@ -88,6 +88,75 @@ def frame_aggregate(x: jnp.ndarray, g: jnp.ndarray) -> jnp.ndarray:
     return jnp.einsum("btvw,btwc->btvc", g, x)
 
 
+@jax.custom_vjp
+def adaptive_gcn(x: jnp.ndarray, a1: jnp.ndarray, w: jnp.ndarray
+                 ) -> jnp.ndarray:
+    """K-subset adaptive graph conv, project-first with a hand-tuned VJP.
+
+      y[b,t,w,o] = sum_{k,v,c} x[b,t,v,c] * w[k,c,o] * a1[b,k,v,w]
+
+    Equivalent to the reference's aggregate-then-project loop
+    (agcn.py:92-109, aagcn.py:164-177) by commutativity, but computed
+    project-FIRST: one wide (B*T*V, C)@(C, K*Co) GEMM followed by a single
+    joint (k,v) contraction — 2.6x faster forward than
+    aggregate-then-project on TPU (PERF.md). Autodiff of this form has a
+    slow backward (it materializes dp[b,t,v,k,o] through a V=25-bound
+    einsum); the custom VJP below instead picks the cheap einsum order for
+    each cotangent, so the fast form is trainable.
+
+    Args:
+      x: (B, T, V, C) features.
+      a1: (B, K, V, V) combined adjacency (static + learned + attention),
+        layout A[source, dest].
+      w: (K, C, Co) per-subset projection kernels.
+    Returns:
+      (B, T, V, Co).
+    """
+    return _adaptive_gcn_fwd_impl(x, a1, w)
+
+
+def _adaptive_gcn_fwd_impl(x, a1, w):
+    b, t, v, c = x.shape
+    k, _, co = w.shape
+    wc = jnp.transpose(w, (1, 0, 2)).reshape(c, k * co)
+    p = (x @ wc).reshape(b, t, v, k, co)
+    return jnp.einsum("btvko,bkvw->btwo", p, a1)
+
+
+def _adaptive_gcn_fwd(x, a1, w):
+    return _adaptive_gcn_fwd_impl(x, a1, w), (x, a1, w)
+
+
+def _adaptive_gcn_bwd(res, g):
+    # Each cotangent uses the einsum order with the largest contraction
+    # dims (joint (k,v)/(k,w) contractions of size K*V, or huge
+    # batch-time reductions) — never the V=25-only contraction with a
+    # (B,T,V,K,Co)-sized output that autodiff would pick.
+    x, a1, w = res
+    b, t, v, c = x.shape
+    k, _, co = w.shape
+    wc = jnp.transpose(w, (1, 0, 2)).reshape(c, k * co)
+    p = (x @ wc).reshape(b, t, v, k, co)  # recomputed: cheap wide GEMM
+    da1 = jnp.einsum("btvko,btwo->bkvw", p, g)
+    u = jnp.einsum("btwo,kco->btwkc", g, w)
+    dx = jnp.einsum("btwkc,bkvw->btvc", u, a1)
+    agg = jnp.einsum("btvc,bkvw->btwkc", x, a1)
+    dw = jnp.einsum("btwkc,btwo->kco", agg, g)
+    return dx, da1, dw
+
+
+adaptive_gcn.defvjp(_adaptive_gcn_fwd, _adaptive_gcn_bwd)
+
+
+def adaptive_gcn_reference(x: jnp.ndarray, a1: jnp.ndarray, w: jnp.ndarray
+                           ) -> jnp.ndarray:
+    """Naive aggregate-then-project form of `adaptive_gcn` (for tests)."""
+    b, t, v, c = x.shape
+    k = a1.shape[1]
+    agg = jnp.einsum("btvc,bkvw->btwkc", x, a1).reshape(b, t, v, k * c)
+    return agg @ w.reshape(k * c, -1)
+
+
 def fused_static_operator(adj: jnp.ndarray, weights: jnp.ndarray,
                           ) -> jnp.ndarray:
     """Fold K-subset aggregation + per-subset 1x1 projections into one matmul.

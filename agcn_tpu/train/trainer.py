@@ -49,12 +49,23 @@ class Trainer:
     def __init__(self, cfg: Config):
         self.cfg = cfg
         self.work_dir = cfg.work_dir
+        self._guard_work_dir()
         os.makedirs(self.work_dir, exist_ok=True)
         os.makedirs(os.path.join(self.work_dir, "checkpoints"), exist_ok=True)
         os.makedirs(os.path.join(self.work_dir, "score"), exist_ok=True)
         save_config(cfg, os.path.join(self.work_dir, "config.yaml"))
         self._log_file = os.path.join(self.work_dir, "log.txt")
         self._metrics_file = os.path.join(self.work_dir, "metrics.jsonl")
+        # TensorBoard event writers (reference processor.py:125-132):
+        # train/val scalars land under work_dir/event/{train,val}
+        from agcn_tpu.utils.tb_writer import SummaryWriter
+        if cfg.phase == "train" and jax.process_index() == 0:
+            self.train_writer = SummaryWriter(
+                os.path.join(self.work_dir, "event", "train"))
+            self.val_writer = SummaryWriter(
+                os.path.join(self.work_dir, "event", "val"))
+        else:
+            self.train_writer = self.val_writer = None
 
         self.rng = jax.random.PRNGKey(cfg.seed)
         np.random.seed(cfg.seed)
@@ -73,6 +84,21 @@ class Trainer:
         self._build_steps()
         self.best_acc = 0.0
         self.best_epoch = -1
+
+    def _guard_work_dir(self):
+        """Refuse to clobber a previous run's work dir unless resuming or
+        explicitly allowed (reference processor.py:86,100-107 asks
+        interactively; we gate on the `assume_yes` flag since the trainer
+        may run unattended)."""
+        cfg = self.cfg
+        marker = os.path.join(self.work_dir, "log.txt")
+        if (cfg.phase == "train" and os.path.exists(marker)
+                and cfg.start_epoch == 0 and not cfg.weights
+                and not cfg.assume_yes):
+            raise RuntimeError(
+                f"work_dir {self.work_dir!r} already contains a run "
+                f"(log.txt present). Pass assume_yes=true to reuse it, "
+                f"or resume with start_epoch/weights, or pick a new dir.")
 
     # -- logging -------------------------------------------------------
 
@@ -140,8 +166,23 @@ class Trainer:
         self.batch_stats = variables.get("batch_stats", {})
         n_params = sum(x.size for x in jax.tree_util.tree_leaves(self.params))
         self.print_log(f"Model {cfg.model} built: {n_params:,} params")
+        self._snapshot_model_source()
         if cfg.weights:
             self._load_weights(cfg.weights, cfg.ignore_weights)
+
+    def _snapshot_model_source(self):
+        """Copy the model's source file into the work dir for per-run code
+        provenance (reference processor.py:288-290)."""
+        import inspect
+        import shutil
+
+        try:
+            src = inspect.getsourcefile(type(self.model))
+            if src and os.path.exists(src):
+                shutil.copy2(src, os.path.join(
+                    self.work_dir, os.path.basename(src)))
+        except (TypeError, OSError):
+            pass
 
     def _example_input(self):
         cfg = self.cfg
@@ -194,7 +235,15 @@ class Trainer:
 
     def _load_optimizer(self):
         cfg = self.cfg
-        steps_per_epoch = max(len(self.loaders.get("train", [])) or 1, 1)
+        if "train" in self.loaders:
+            steps_per_epoch = max(len(self.loaders["train"]), 1)
+        elif "val" in self.loaders:
+            # test phase: derive the schedule geometry from the dataset so
+            # a schedule-dependent resume sees real steps, not 1
+            steps_per_epoch = max(
+                len(self.datasets["val"]) // max(cfg.batch_size, 1), 1)
+        else:
+            steps_per_epoch = 1
         self.steps_per_epoch = steps_per_epoch
         if cfg.scheduler == "onecyclelr":
             sched = O.onecycle_schedule(
@@ -346,9 +395,22 @@ class Trainer:
         # (reference processor.py:612-630)
         self._train_step_frozen = compile_step(frozen_step) \
             if cfg.only_train_part else self._train_step
-        eval_step = make_eval_step(loss_fn, multi_crop=getattr(
-            self, "multi_test", 1))
-        self._eval_step = jax.jit(eval_step)
+        crops = getattr(self, "multi_test", 1)
+        eval_step = make_eval_step(loss_fn, multi_crop=crops)
+        # eval shards over the data axis too when the fixed (padded)
+        # eval batch divides evenly; otherwise single-program eval
+        self._eval_rows = cfg.test_batch_size * max(crops, 1)
+        if self.n_data_shards > 1 \
+                and self._eval_rows % self.n_data_shards == 0:
+            from agcn_tpu.parallel import mesh as M
+            self._eval_step = jax.jit(
+                eval_step,
+                in_shardings=(M.replicated(self.mesh),
+                              M.batch_sharding(self.mesh),
+                              M.replicated(self.mesh)),
+                out_shardings=M.replicated(self.mesh))
+        else:
+            self._eval_step = jax.jit(eval_step)
 
     # -- phases --------------------------------------------------------
 
@@ -415,6 +477,13 @@ class Trainer:
                 self.print_log(
                     f"epoch {epoch} step {i + 1}/{len(loader)} "
                     f"loss {m['loss']:.4f} acc {m['acc']:.3f} lr {lr:.5f}")
+                if self.train_writer is not None:
+                    step = int(self.state.step)
+                    self.train_writer.add_scalar("train/loss", m["loss"],
+                                                 step)
+                    self.train_writer.add_scalar("train/acc", m["acc"],
+                                                 step)
+                    self.train_writer.add_scalar("train/lr", lr, step)
             last_metrics = metrics
         if profile_steps and len(loader) < profile_steps.stop:
             try:
@@ -426,6 +495,10 @@ class Trainer:
             else {}
         self.log_metrics(kind="train", epoch=epoch, seconds=dt,
                          seq_per_sec=seen / max(dt, 1e-9), **m)
+        if self.train_writer is not None:
+            self.train_writer.add_scalar("train/epoch", epoch,
+                                         int(self.state.step))
+            self.train_writer.flush()
         self.print_log(
             f"epoch {epoch} done in {dt:.1f}s "
             f"({seen / max(dt, 1e-9):.1f} seq/s)")
@@ -439,21 +512,27 @@ class Trainer:
         ds = self.datasets["val"]
         scores = []
         t0 = time.time()
-        full = None
+        crops = max(getattr(self, "multi_test", 1), 1)
+        full = self._eval_rows  # fixed compiled batch shape (rows)
         for x, y, idx in loader:
-            # pad the trailing partial batch to the compiled batch shape
-            # so eval stays a single XLA program
-            if full is None:
-                full = x.shape[0]
             n_real = x.shape[0]
+            if crops > 1 and n_real % crops != 0:
+                raise RuntimeError(
+                    f"eval batch of {n_real} rows is not a multiple of "
+                    f"multi_test={crops}; collate must expand each sample "
+                    f"into consecutive crops")
             if n_real < full:
+                # pad the trailing partial batch so eval stays one XLA
+                # program; pad rows form whole crop groups and are
+                # sliced off below
                 pad = np.zeros((full - n_real,) + x.shape[1:], x.dtype)
                 x = np.concatenate([x, pad], axis=0)
-            logits, _ = self._eval_step(self.state, jnp.asarray(x), None)
-            crops = getattr(self, "multi_test", 1)
-            scores.append(np.asarray(logits)[: max(n_real // max(crops, 1),
-                                                   1)]
-                          if crops > 1 else np.asarray(logits)[:n_real])
+            if self.n_data_shards > 1 and full % self.n_data_shards == 0:
+                xb = shard_batch(self.mesh, x)
+            else:
+                xb = jnp.asarray(x)
+            logits, _ = self._eval_step(self.state, xb, None)
+            scores.append(np.asarray(logits)[: n_real // crops])
         score = np.concatenate(scores, axis=0)[: len(ds)]
         accs = {k: ds.top_k(score, k) for k in cfg.show_topk}
         dt = time.time() - t0
@@ -464,6 +543,11 @@ class Trainer:
         self.print_log(f"eval epoch {epoch}: {msg} ({dt:.1f}s)")
         self.log_metrics(kind="eval", epoch=epoch, seconds=dt,
                          **{f"top{k}": v for k, v in accs.items()})
+        if self.val_writer is not None:
+            for k, v in accs.items():
+                self.val_writer.add_scalar(f"val/top{k}", v,
+                                           int(self.state.step))
+            self.val_writer.flush()
         if save_score:
             names = getattr(ds, "sample_name",
                             np.arange(len(ds)))
@@ -483,8 +567,12 @@ class Trainer:
 
     def save_checkpoint(self, epoch: int):
         from agcn_tpu.train.checkpoint import save_checkpoint
+        # filename prefix from model_saved_name (reference names weights
+        # {model_saved_name}-{epoch}-{global_step}.pt, processor.py:225-231)
+        prefix = self.cfg.model_saved_name or "epoch"
+        prefix = os.path.basename(prefix) or "epoch"
         path = os.path.join(self.work_dir, "checkpoints",
-                            f"epoch_{epoch + 1}")
+                            f"{prefix}_{epoch + 1}")
         opt_leaves = {
             f"{i:04d}": np.asarray(leaf) for i, leaf in enumerate(
                 jax.tree_util.tree_leaves(

@@ -23,6 +23,7 @@ class Config:
     config: Optional[str] = None
     work_dir: str = "./work_dir/temp"
     model_saved_name: str = ""
+    assume_yes: bool = False              # skip work-dir reuse guard
     seed: int = 1337
     profiler: bool = False
     # distributed

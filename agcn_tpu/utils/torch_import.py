@@ -53,7 +53,9 @@ def state_dict_to_numpy(sd: Mapping[str, Any]) -> Dict[str, np.ndarray]:
     for k, v in sd.items():
         if hasattr(v, "detach"):
             v = v.detach().cpu().numpy()
-        out[k] = np.asarray(v)
+        # copy: .numpy() shares memory with the live torch tensor, and a
+        # later torch optimizer step would silently mutate our arrays
+        out[k] = np.array(v, copy=True)
     return _strip_module_prefix(out)
 
 

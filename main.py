@@ -24,6 +24,10 @@ def main(argv=None):
     cfg = config_from_cli(argv)
     import jax
 
+    # --device cpu|tpu selects the JAX platform explicitly (the config
+    # update wins even where a site plugin rewrites JAX_PLATFORMS)
+    if str(cfg.device).lower() in ("cpu", "tpu", "gpu"):
+        jax.config.update("jax_platforms", str(cfg.device).lower())
     # persistent compilation cache: repeat runs skip the (minutes-long)
     # TPU compile
     jax.config.update("jax_compilation_cache_dir",

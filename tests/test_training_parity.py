@@ -1,0 +1,230 @@
+"""Multi-step training-dynamics parity vs the PyTorch reference.
+
+Transplants initial weights, then drives BOTH frameworks through the same
+20 batches with identical optimizer settings (SGD+nesterov+weight-decay+
+grad-clip+warmup-step LR for AGCN; Adam for SGN) and asserts the per-step
+loss trace and final parameter norms match. This is the test that catches
+optimizer semantics / BN-momentum / LR-schedule discrepancies that
+forward-only parity cannot (reference semantics:
+utils/processor.py:349-430, 604-778).
+
+Aug-free, fp32, CPU.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from agcn_tpu.graph import build_adjacency
+from agcn_tpu.models import AGCN
+from agcn_tpu.models.sgn import SGN
+from agcn_tpu.train import losses as L
+from agcn_tpu.train import optim as O
+from agcn_tpu.train.steps import TrainState, make_train_step
+from agcn_tpu.utils.torch_import import (agcn_variables_from_torch,
+                                         sgn_variables_from_torch)
+
+from .conftest import add_reference_to_path, reference_available
+from .test_sgn import V14_KWARGS, _ours_from, _torch_sgn
+
+N_STEPS = 20
+BATCH = 4
+NUM_CLASS = 11
+
+
+def _batches(shape, seed=0, n_distinct=4):
+    rng = np.random.default_rng(seed)
+    xs = [rng.standard_normal(shape).astype(np.float32) * 0.5
+          for _ in range(n_distinct)]
+    ys = [rng.integers(0, NUM_CLASS, (shape[0],)) for _ in range(n_distinct)]
+    return [(xs[i % n_distinct], ys[i % n_distinct])
+            for i in range(N_STEPS)]
+
+
+def _param_norm_torch(model):
+    import torch
+
+    with torch.no_grad():
+        return float(torch.sqrt(sum(
+            (p ** 2).sum() for p in model.parameters())))
+
+
+def _param_norm_jax(params):
+    return float(jnp.sqrt(sum(
+        jnp.sum(p.astype(jnp.float64) ** 2)
+        for p in jax.tree_util.tree_leaves(params))))
+
+
+@pytest.mark.skipif(not reference_available(), reason="reference not mounted")
+def test_agcn_sgd_training_trajectory():
+    """AGCN + SGD(nesterov 0.9, wd 1e-4) + clip 1.0 + warmup-step LR:
+    per-step losses and final parameter norm must track the reference."""
+    add_reference_to_path()
+    import torch
+    from model.architecture.aagcn.agcn import Model as TorchAGCN
+
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    torch.manual_seed(0)
+    ref = TorchAGCN(num_class=NUM_CLASS, num_point=25, num_person=2,
+                    graph="graph.ntu_rgb_d.Graph",
+                    graph_args={"labeling_mode": "spatial"}).train()
+    variables = agcn_variables_from_torch(ref.state_dict())
+
+    base_lr, steps_per_epoch, warmup, decay = 0.01, 5, 2, [3]
+    batches = _batches((BATCH, 3, 16, 25, 2))
+
+    # torch loop: reference processor semantics (adjust lr per epoch,
+    # zero_grad / backward / clip 1.0 / step — processor.py:604-703)
+    opt = torch.optim.SGD(ref.parameters(), lr=base_lr, momentum=0.9,
+                          nesterov=True, weight_decay=1e-4)
+    lossf = torch.nn.CrossEntropyLoss()
+    torch_losses = []
+    for i, (x, y) in enumerate(batches):
+        epoch = i // steps_per_epoch
+        if epoch < warmup:
+            lr = base_lr * (epoch + 1) / warmup
+        else:
+            lr = base_lr * (0.1 ** int(np.sum(epoch >= np.array(decay))))
+        for g in opt.param_groups:
+            g["lr"] = lr
+        opt.zero_grad()
+        loss = lossf(ref(torch.from_numpy(x)), torch.from_numpy(y))
+        loss.backward()
+        torch.nn.utils.clip_grad_norm_(ref.parameters(), 1.0)
+        opt.step()
+        torch_losses.append(float(loss))
+
+    # ours: one jitted step, same schedule geometry
+    adj = build_adjacency("ntu_rgb_d")
+    model = AGCN(num_class=NUM_CLASS, adj=adj)
+    sched = O.warmup_step_schedule(base_lr, steps_per_epoch, decay, warmup)
+    tx = O.sgd_nesterov(sched, weight_decay=1e-4, grad_clip=1.0)
+    state = TrainState.create(model.apply, variables["params"],
+                              variables["batch_stats"], tx)
+    step = jax.jit(make_train_step(L.cross_entropy))
+    key = jax.random.PRNGKey(0)
+    our_losses = []
+    for x, y in batches:
+        state, m = step(state, jnp.asarray(x), jnp.asarray(y), key)
+        our_losses.append(float(m["loss"]))
+
+    np.testing.assert_allclose(our_losses, torch_losses, rtol=2e-3,
+                               atol=2e-3)
+    np.testing.assert_allclose(_param_norm_jax(state.params),
+                               _param_norm_torch(ref), rtol=1e-4)
+    # the trajectory actually moved (the test isn't vacuous)
+    assert abs(torch_losses[-1] - torch_losses[0]) > 1e-3
+
+
+def test_adam_update_rule_parity():
+    """torch.optim.Adam vs our optax chain on IDENTICAL gradient
+    sequences: the update rule itself (bias correction, eps placement,
+    L2-style weight decay, clip ordering) must agree to float precision.
+
+    (The full-model Adam trajectory cannot be compared tightly: Adam's
+    first step is ~sign(g)*lr, and the sign of near-zero gradients is
+    framework noise — so update-rule parity is tested exactly here and
+    the model trajectory below with a tracking tolerance.)
+    """
+    import torch
+
+    rng = np.random.default_rng(3)
+    p0 = rng.standard_normal((5, 7)).astype(np.float32)
+    grads = [rng.standard_normal((5, 7)).astype(np.float32) * (10 ** s)
+             for s in (-3, 0, 1, -1, 0, 2)]
+
+    tp = torch.nn.Parameter(torch.from_numpy(p0.copy()))
+    topt = torch.optim.Adam([tp], lr=1e-3, weight_decay=1e-2)
+    for g in grads:
+        topt.zero_grad()
+        tp.grad = torch.from_numpy(g.copy())
+        torch.nn.utils.clip_grad_norm_([tp], 1.0)
+        topt.step()
+
+    tx = O.adam(lambda _: 1e-3, weight_decay=1e-2, grad_clip=1.0)
+    params = {"w": jnp.asarray(p0)}
+    opt_state = tx.init(params)
+    for g in grads:
+        updates, opt_state = tx.update({"w": jnp.asarray(g)}, opt_state,
+                                       params)
+        params = jax.tree_util.tree_map(lambda p, u: p + u, params,
+                                        updates)
+    np.testing.assert_allclose(np.asarray(params["w"]),
+                               tp.detach().numpy(), atol=1e-6, rtol=1e-5)
+
+
+def test_sgd_nesterov_update_rule_parity():
+    """torch.optim.SGD(nesterov, momentum, wd) vs our optax chain on
+    identical gradient sequences: exact update-rule parity."""
+    import torch
+
+    rng = np.random.default_rng(4)
+    p0 = rng.standard_normal((4, 6)).astype(np.float32)
+    grads = [rng.standard_normal((4, 6)).astype(np.float32) * (10 ** s)
+             for s in (0, 1, -2, 0, 3)]
+
+    tp = torch.nn.Parameter(torch.from_numpy(p0.copy()))
+    topt = torch.optim.SGD([tp], lr=0.05, momentum=0.9, nesterov=True,
+                           weight_decay=1e-4)
+    for g in grads:
+        topt.zero_grad()
+        tp.grad = torch.from_numpy(g.copy())
+        torch.nn.utils.clip_grad_norm_([tp], 1.0)
+        topt.step()
+
+    tx = O.sgd_nesterov(lambda _: 0.05, weight_decay=1e-4, grad_clip=1.0)
+    params = {"w": jnp.asarray(p0)}
+    opt_state = tx.init(params)
+    for g in grads:
+        updates, opt_state = tx.update({"w": jnp.asarray(g)}, opt_state,
+                                       params)
+        params = jax.tree_util.tree_map(lambda p, u: p + u, params,
+                                        updates)
+    np.testing.assert_allclose(np.asarray(params["w"]),
+                               tp.detach().numpy(), atol=1e-6, rtol=1e-5)
+
+
+@pytest.mark.skipif(not reference_available(), reason="reference not mounted")
+def test_sgn_adam_training_trajectory():
+    """SGN v14 + Adam(wd 1e-4) + clip 1.0, constant LR, dropout off."""
+    import torch
+
+    overrides = dict(num_class=NUM_CLASS, dropout2d=0.0, dropout=0.0)
+    ref = _torch_sgn(**overrides).train()
+    kwargs = {**V14_KWARGS, **overrides}
+    variables = sgn_variables_from_torch(ref.state_dict())
+
+    batches = _batches((BATCH, 20, 75), seed=1)
+    opt = torch.optim.Adam(ref.parameters(), lr=1e-3, weight_decay=1e-4)
+    lossf = torch.nn.CrossEntropyLoss()
+    torch_losses = []
+    for x, y in batches:
+        opt.zero_grad()
+        out = ref(torch.from_numpy(x))
+        loss = lossf(out[0], torch.from_numpy(y))
+        loss.backward()
+        torch.nn.utils.clip_grad_norm_(ref.parameters(), 1.0)
+        opt.step()
+        torch_losses.append(float(loss))
+
+    model = _ours_from(kwargs)
+    tx = O.adam(lambda _: 1e-3, weight_decay=1e-4, grad_clip=1.0)
+    state = TrainState.create(model.apply, variables["params"],
+                              variables.get("batch_stats", {}), tx)
+    step = jax.jit(make_train_step(L.cross_entropy))
+    key = jax.random.PRNGKey(0)
+    our_losses = []
+    for x, y in batches:
+        state, m = step(state, jnp.asarray(x), jnp.asarray(y), key)
+        our_losses.append(float(m["loss"]))
+
+    # step 0 (pre-update) must agree tightly; later steps track within
+    # Adam's sign-step chaos envelope (Adam's first update is ~sign(g)*lr
+    # and signs of near-zero grads are framework noise — the exact
+    # update rule is verified in test_adam_update_rule_parity)
+    np.testing.assert_allclose(our_losses[0], torch_losses[0], rtol=1e-4)
+    np.testing.assert_allclose(our_losses, torch_losses, rtol=0.25,
+                               atol=0.08)
+    np.testing.assert_allclose(_param_norm_jax(state.params),
+                               _param_norm_torch(ref), rtol=1e-3)
