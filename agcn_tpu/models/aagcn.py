@@ -88,6 +88,7 @@ class AdaptiveGCN(nn.Module):
     inter_channels: int
     adj: Any  # (K, V, V) initial value for PA
     dtype: Optional[jnp.dtype] = None
+    formulation: str = "pf"  # ops/gcn.apply_gcn
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -135,13 +136,13 @@ class AdaptiveGCN(nn.Module):
         a1 = pa[None].astype(att.dtype) + att * alpha.astype(att.dtype)
 
         out_b = sum(b_d)
-        # project-first with hand-tuned VJP (ops/gcn.py adaptive_gcn):
-        # fast forward AND backward
+        # project-first formulation (ops/gcn.py; PERF.md round 2)
         w_stack = jnp.stack(k_d)  # (K, C, Co)
         if self.dtype is not None:
             w_stack = w_stack.astype(self.dtype)
             out_b = out_b.astype(self.dtype)
-        return gcn_ops.adaptive_gcn(compute, a1, w_stack) + out_b
+        return gcn_ops.apply_gcn(compute, a1, w_stack,
+                                 self.formulation) + out_b
 
 
 class NonAdaptiveGCN(nn.Module):
@@ -191,6 +192,7 @@ class GCNUnit(nn.Module):
     gbn_split: int = 1
     sync_axis: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
+    formulation: str = "pf"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
@@ -199,7 +201,8 @@ class GCNUnit(nn.Module):
         gcn_cls = AdaptiveGCN if self.adaptive else NonAdaptiveGCN
         if self.adaptive:
             y = gcn_cls(self.out_channels, inter_c, self.adj,
-                        dtype=self.dtype, name="agcn")(x, train)
+                        dtype=self.dtype, formulation=self.formulation,
+                        name="agcn")(x, train)
         else:
             y = gcn_cls(self.out_channels, inter_c, self.adj,
                         dtype=self.dtype, name="agcn")(x)
@@ -257,6 +260,7 @@ class TCNGCNUnit(nn.Module):
     gbn_split: int = 1
     sync_axis: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
+    formulation: str = "pf"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
@@ -264,6 +268,7 @@ class TCNGCNUnit(nn.Module):
         y = GCNUnit(self.out_channels, self.adj, adaptive=self.adaptive,
                     attention=self.attention, gbn_split=self.gbn_split,
                     sync_axis=self.sync_axis, dtype=self.dtype,
+                    formulation=self.formulation,
                     name="gcn1")(x, train)
         y = TCNUnit(self.out_channels, kernel_size=self.kernel_size,
                     stride=self.stride, pad=self.pad,
@@ -281,34 +286,53 @@ class TCNGCNUnit(nn.Module):
         return nn.relu(y + res)
 
 
-# model_layers -> {layer name: (out_channels, stride, residual)}
+# model_layers -> {layer name: (out_channels, stride, residual, pad)}
 # (reference aagcn.py:407-474). Input channel for l1 is the data dim.
-_LAYER_PLANS: Dict[int, Dict[str, Tuple[int, int, bool]]] = {
+# stride/pad of None defer to the model's defaults (relevant for the
+# transformer variants whose units use stride=kernel_size, pad=False).
+_LAYER_PLANS: Dict[int, Dict[str, Tuple[int, Optional[int], bool,
+                                        Optional[bool]]]] = {
     0: {},
-    3: {"l1": (64, 1, False), "l5": (128, 2, True), "l8": (256, 2, True)},
-    6: {"l1": (64, 1, False), "l4": (64, 1, True), "l5": (128, 2, True),
-        "l7": (128, 1, True), "l8": (256, 2, True), "l10": (256, 1, True)},
-    7: {"l1": (64, 1, False), "l3": (64, 1, True), "l4": (64, 1, True),
-        "l5": (128, 2, True), "l7": (128, 1, True), "l8": (256, 2, True),
-        "l10": (256, 1, True)},
-    10: {"l1": (64, 1, False), "l2": (64, 1, True), "l3": (64, 1, True),
-         "l4": (64, 1, True), "l5": (128, 2, True), "l6": (128, 1, True),
-         "l7": (128, 1, True), "l8": (256, 2, True), "l9": (256, 1, True),
-         "l10": (256, 1, True)},
+    3: {"l1": (64, 1, False, None), "l5": (128, 2, True, None),
+        "l8": (256, 2, True, None)},
+    6: {"l1": (64, 1, False, None), "l4": (64, 1, True, None),
+        "l5": (128, 2, True, None), "l7": (128, 1, True, None),
+        "l8": (256, 2, True, None), "l10": (256, 1, True, None)},
+    7: {"l1": (64, 1, False, None), "l3": (64, 1, True, None),
+        "l4": (64, 1, True, None), "l5": (128, 2, True, None),
+        "l7": (128, 1, True, None), "l8": (256, 2, True, None),
+        "l10": (256, 1, True, None)},
+    10: {"l1": (64, 1, False, None), "l2": (64, 1, True, None),
+         "l3": (64, 1, True, None), "l4": (64, 1, True, None),
+         "l5": (128, 2, True, None), "l6": (128, 1, True, None),
+         "l7": (128, 1, True, None), "l8": (256, 2, True, None),
+         "l9": (256, 1, True, None), "l10": (256, 1, True, None)},
 }
 
 
 def layer_plan(model_layers: int,
-               output_channel: int = 64) -> Dict[str, Tuple[int, int, bool]]:
+               output_channel: int = 64
+               ) -> Dict[str, Tuple[int, Optional[int], bool,
+                                    Optional[bool]]]:
     if model_layers in _LAYER_PLANS:
         return dict(_LAYER_PLANS[model_layers])
     c = output_channel
     if model_layers in (101, 102, 103):
+        # stride/pad defer to the model defaults (aagcn.py:451-461)
         n = model_layers - 100
-        plan = {"l1": (c, 1, False)}
+        plan = {"l1": (c, None, False, None)}
         for i in range(2, n + 1):
-            plan[f"l{i}"] = (c, 1, True)
+            plan[f"l{i}"] = (c, None, True, None)
         return plan
+    if model_layers == 1002:
+        # leading layer forced to stride-1 padded conv, second layer at
+        # model defaults (aagcn.py:464-467; the reference spells the
+        # keyword `padding=` which its units don't accept — implemented
+        # here as the documented intent, pad=True)
+        return {"l1": (c, 1, False, True), "l2": (c, None, True, None)}
+    if model_layers == 1003:
+        return {"l1": (c, 1, False, True), "l2": (c, 1, True, True),
+                "l3": (c, None, True, None)}
     raise ValueError(f"Model with {model_layers} layers is not supported.")
 
 
@@ -332,7 +356,10 @@ class AAGCN(nn.Module):
     data_norm: str = "bn"
     model_layers: int = 10
     kernel_size: int = 9
-    stride: int = 1
+    stride: int = 1          # default unit stride (plan may override)
+    pad: bool = True         # default temporal-conv padding
+    backbone_dim: Optional[int] = None  # channel width for plans >= 101
+    formulation: str = "pf"  # GCN formulation (ops/gcn.apply_gcn)
     sync_axis: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
 
@@ -357,16 +384,20 @@ class AAGCN(nn.Module):
         if self.dtype is not None:
             x = x.astype(self.dtype)
 
-        plan = layer_plan(self.model_layers)
+        plan = layer_plan(self.model_layers, self.backbone_dim or 64)
         last_c = c
         for name in [f"l{i}" for i in range(1, 11)]:
             if name not in plan:
                 continue
-            ch, stride, residual = plan[name]
-            x = TCNGCNUnit(ch, self.adj, stride=stride, residual=residual,
+            ch, stride, residual, pad = plan[name]
+            x = TCNGCNUnit(ch, self.adj,
+                           stride=self.stride if stride is None else stride,
+                           residual=residual,
                            adaptive=self.adaptive, attention=self.attention,
                            kernel_size=self.kernel_size,
+                           pad=self.pad if pad is None else pad,
                            gbn_split=self.gbn_split,
+                           formulation=self.formulation,
                            sync_axis=self.sync_axis, dtype=self.dtype,
                            name=name)(x, train)
             last_c = ch

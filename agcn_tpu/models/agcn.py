@@ -43,6 +43,7 @@ class UnitGCN(nn.Module):
     sync_axis: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
     use_pallas: bool = False
+    formulation: str = "pf"  # 'pf' | 'custom' | 'agg' (ops/gcn.apply_gcn)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
@@ -106,13 +107,13 @@ class UnitGCN(nn.Module):
                 out_b = out_b.astype(self.dtype)
             y = fused_gcn(compute, a1, w_stack) + out_b
         else:
-            # project-first formulation with a hand-tuned VJP: fast in both
-            # directions (ops/gcn.py adaptive_gcn; PERF.md round 2)
+            # project-first formulation (ops/gcn.py; PERF.md round 2)
             w_stack = jnp.stack(k_d)  # (K, C, Co)
             if self.dtype is not None:
                 w_stack = w_stack.astype(self.dtype)
                 out_b = out_b.astype(self.dtype)
-            y = gcn_ops.adaptive_gcn(compute, a1, w_stack) + out_b
+            y = gcn_ops.apply_gcn(compute, a1, w_stack,
+                                  self.formulation) + out_b
 
         y = BatchNorm(scale_init_value=1e-6, axis_name=self.sync_axis,
                       name="bn")(y, train)
@@ -154,12 +155,14 @@ class STGCNBlock(nn.Module):
     sync_axis: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
     use_pallas: bool = False
+    formulation: str = "pf"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
         in_c = x.shape[-1]
         y = UnitGCN(self.out_channels, self.adj, sync_axis=self.sync_axis,
                     dtype=self.dtype, use_pallas=self.use_pallas,
+                    formulation=self.formulation,
                     name="gcn1")(x, train)
         y = UnitTCN(self.out_channels, stride=self.stride,
                     sync_axis=self.sync_axis, dtype=self.dtype,
@@ -191,12 +194,15 @@ class _ScanBlockBody(nn.Module):
     sync_axis: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
     use_pallas: bool = False
+    formulation: str = "pf"
 
     @nn.compact
     def __call__(self, carry, train):
         y = STGCNBlock(self.out_channels, self.adj, stride=1, residual=True,
                        sync_axis=self.sync_axis, dtype=self.dtype,
-                       use_pallas=self.use_pallas, name="block")(carry, train)
+                       use_pallas=self.use_pallas,
+                       formulation=self.formulation,
+                       name="block")(carry, train)
         return y, None
 
 
@@ -232,6 +238,7 @@ class AGCN(nn.Module):
     sync_axis: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
     use_pallas: bool = False
+    formulation: str = "pf"  # GCN formulation (ops/gcn.apply_gcn)
     remat: bool = False  # rematerialize blocks: trade FLOPs for HBM
     scan_blocks: bool = False  # scan homogeneous block groups (fast compile)
 
@@ -250,7 +257,8 @@ class AGCN(nn.Module):
             x = x.astype(self.dtype)
 
         common = dict(sync_axis=self.sync_axis, dtype=self.dtype,
-                      use_pallas=self.use_pallas)
+                      use_pallas=self.use_pallas,
+                      formulation=self.formulation)
         if self.scan_blocks:
             # l1 / scan(l2-l4) / l5 / scan(l6-l7) / l8 / scan(l9-l10)
             x = STGCNBlock(64, self.adj, stride=1, residual=False,

@@ -152,6 +152,44 @@ class SGNEmbedding(nn.Module):
         return x
 
 
+#: NTU-25 body-part groups for the segment embedding
+#: (reference blocks/feature_extractor.py:11-19)
+SEGMENTS = ((2, 3), (0, 1, 20), (4, 5, 6), (8, 9, 10),
+            (16, 17, 18, 19), (12, 13, 14, 15), (7, 21, 22), (11, 23, 24))
+SEGMENT_PERIOD = 4
+
+
+class SegmentEmbedding(nn.Module):
+    """Body-part segment embedding: 8 part groups x PERIOD-frame windows.
+
+    Each (part, window) token flattens (window-position, joint, channel)
+    into one feature vector and is embedded with its own per-part MLP;
+    the output sequence has V'=8 part nodes and T'=T//PERIOD frames.
+    Parity: reference blocks/feature_extractor.py:23-33
+    (embedding_per_segment), engaged when input_position/velocity > 1000
+    (feature_extractor.py:50-70, mode %= 1000).
+    """
+
+    out_channels: int
+    mode: int               # full mode (> 1000); % 1000 picks the MLP
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b, t, v, c = x.shape
+        tw = t // SEGMENT_PERIOD
+        outs = []
+        for idx, seg in enumerate(SEGMENTS):
+            xs = x[:, : tw * SEGMENT_PERIOD, list(seg), :]
+            xs = xs.reshape(b, tw, SEGMENT_PERIOD, len(seg), c)
+            xs = xs.reshape(b, tw, 1, SEGMENT_PERIOD * len(seg) * c)
+            emb = SGNEmbedding(self.out_channels, mode=self.mode % 1000,
+                               use_bias=self.use_bias, in_norm=True,
+                               name=f"seg{idx}")(xs, train)
+            outs.append(emb)
+        return jnp.concatenate(outs, axis=2)  # (B, T', 8, C')
+
+
 class GCNSpatialG(nn.Module):
     """Per-frame attention G = softmax(g1 g2^T) (blocks/spatial.py:193-240,
     gt_mode 0)."""
@@ -715,14 +753,27 @@ class SGN(nn.Module):
         dif = x[:, 1:] - x[:, :-1]
         dif = jnp.concatenate([jnp.zeros_like(x[:, :1]), dif], axis=1)
         pos = vel = None
-        if self.input_position > 0:
-            pos = SGNEmbedding(c1, mode=self.input_position,
-                               use_bias=self.use_bias, in_norm=True,
-                               name="pos_embed")(x, train)
-        if self.input_velocity > 0:
-            vel = SGNEmbedding(c1, mode=self.input_velocity,
-                               use_bias=self.use_bias, in_norm=True,
-                               name="vel_embed")(dif, train)
+        if self.input_position > 1000 and self.input_velocity > 1000:
+            # body-part segment embedding: both streams embed x (the
+            # reference feeds x, not dif, to the velocity branch here —
+            # feature_extractor.py:81-83); sequence becomes 8 part nodes
+            # x T//4 windows
+            pos = SegmentEmbedding(c1, mode=self.input_position,
+                                   use_bias=self.use_bias,
+                                   name="pos_embed")(x, train)
+            vel = SegmentEmbedding(c1, mode=self.input_velocity,
+                                   use_bias=self.use_bias,
+                                   name="vel_embed")(x, train)
+            t, v = pos.shape[1], pos.shape[2]
+        else:
+            if self.input_position > 0:
+                pos = SGNEmbedding(c1, mode=self.input_position,
+                                   use_bias=self.use_bias, in_norm=True,
+                                   name="pos_embed")(x, train)
+            if self.input_velocity > 0:
+                vel = SGNEmbedding(c1, mode=self.input_velocity,
+                                   use_bias=self.use_bias, in_norm=True,
+                                   name="vel_embed")(dif, train)
         # Semantic embeddings -------------------------------------------
         # one-hot tables embedded once, broadcast over batch/time
         # (blocks/semantic.py:128-190) — constants folded by XLA.

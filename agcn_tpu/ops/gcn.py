@@ -157,6 +157,21 @@ def adaptive_gcn_reference(x: jnp.ndarray, a1: jnp.ndarray, w: jnp.ndarray
     return agg @ w.reshape(k * c, -1)
 
 
+def apply_gcn(x: jnp.ndarray, a1: jnp.ndarray, w: jnp.ndarray,
+              formulation: str = "pf") -> jnp.ndarray:
+    """Dispatch between GCN formulations (tools/bench_gcn_forms.py):
+    'pf' project-first under plain autodiff (fastest full-step on TPU),
+    'custom' project-first with the hand-tuned VJP, 'agg'
+    aggregate-then-project."""
+    if formulation == "pf":
+        return _adaptive_gcn_fwd_impl(x, a1, w)
+    if formulation == "custom":
+        return adaptive_gcn(x, a1, w)
+    if formulation == "agg":
+        return adaptive_gcn_reference(x, a1, w)
+    raise ValueError(f"unknown GCN formulation {formulation!r}")
+
+
 def fused_static_operator(adj: jnp.ndarray, weights: jnp.ndarray,
                           ) -> jnp.ndarray:
     """Fold K-subset aggregation + per-subset 1x1 projections into one matmul.

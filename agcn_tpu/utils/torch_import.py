@@ -191,17 +191,28 @@ def sgn_variables_from_torch(sd: Mapping[str, Any]) -> Dict[str, Dict]:
             _set(tree["params"], flax_path + ("conv", "bias"),
                  sd[f"{torch_prefix}.block.conv.conv.bias"])
 
-    def embedding(torch_prefix, flax_name):
+    def embedding(torch_prefix, flax_path):
+        if isinstance(flax_path, str):
+            flax_path = (flax_path,)
         if f"{torch_prefix}.norm.bn.weight" in sd:
-            _bn(tree, (flax_name, "in_norm"), (flax_name, "in_norm"), sd,
-                f"{torch_prefix}.norm.bn")
+            _bn(tree, flax_path + ("in_norm",), flax_path + ("in_norm",),
+                sd, f"{torch_prefix}.norm.bn")
         i = 1
         while f"{torch_prefix}.cnn{i}.block.conv.conv.weight" in sd:
-            conv_block(f"{torch_prefix}.cnn{i}", (flax_name, f"cnn{i}"))
+            conv_block(f"{torch_prefix}.cnn{i}", flax_path + (f"cnn{i}",))
             i += 1
 
-    embedding("feature_extractor.pos_embed", "pos_embed")
-    embedding("feature_extractor.vel_embed", "vel_embed")
+    if "feature_extractor.pos_embed.0.cnn1.block.conv.conv.weight" in sd:
+        # body-part segment embedding: one Embedding per part group
+        # (blocks/feature_extractor.py:50-70)
+        for idx in range(8):
+            embedding(f"feature_extractor.pos_embed.{idx}",
+                      ("pos_embed", f"seg{idx}"))
+            embedding(f"feature_extractor.vel_embed.{idx}",
+                      ("vel_embed", f"seg{idx}"))
+    else:
+        embedding("feature_extractor.pos_embed", "pos_embed")
+        embedding("feature_extractor.vel_embed", "vel_embed")
     embedding("semantic_embedding.spa_embedding", "joint_embed")
     embedding("semantic_embedding.tem_embedding", "frame_embed")
     embedding("semantic_embedding.cls_embedding", "class_embed")
@@ -298,8 +309,10 @@ def sgn_variables_from_torch(sd: Mapping[str, Any]) -> Dict[str, Dict]:
         conv_block(f"tem_mlp_{i}_{j}_k{k}.cnn.cnn{layer}",
                    (f"tem{i}_{j}_k{k}", "cnn", f"cnn{layer}"))
 
-    _set(tree["params"], ("fc", "kernel"), linear_kernel(sd["fc.weight"]))
-    _set(tree["params"], ("fc", "bias"), sd["fc.bias"])
+    if "fc.weight" in sd:  # absent when mapping a sub-module state dict
+        _set(tree["params"], ("fc", "kernel"),
+             linear_kernel(sd["fc.weight"]))
+        _set(tree["params"], ("fc", "bias"), sd["fc.bias"])
     return tree
 
 

@@ -54,13 +54,15 @@ def bench_ours(steps: int = 20) -> float:
     step = jax.jit(make_train_step(losses.cross_entropy), donate_argnums=0)
     key = jax.random.PRNGKey(0)
 
-    # warmup / compile
+    # warmup / compile; the scalar host fetch (not block_until_ready,
+    # which can report dispatch time on this backend — PERF.md) forces
+    # real completion of the state-chained step sequence
     state, m = step(state, x, y, key)
-    jax.block_until_ready(m["loss"])
+    _ = float(m["loss"])
     t0 = time.perf_counter()
     for _ in range(steps):
         state, m = step(state, x, y, key)
-    jax.block_until_ready(m["loss"])
+    _ = float(m["loss"])
     dt = time.perf_counter() - t0
     return BATCH * steps / dt
 
