@@ -88,7 +88,7 @@ class AdaptiveGCN(nn.Module):
     inter_channels: int
     adj: Any  # (K, V, V) initial value for PA
     dtype: Optional[jnp.dtype] = None
-    formulation: str = "pf"  # ops/gcn.apply_gcn
+    formulation: str = "agg"  # ops/gcn.apply_gcn
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -128,21 +128,29 @@ class AdaptiveGCN(nn.Module):
         b, t, v, _ = emb.shape
         emb = emb.reshape(b, t, v, 2, num_subset, inter_c)
         theta, phi = emb[..., 0, :, :], emb[..., 1, :, :]
-        logits = jnp.einsum("btvkc,btwkc->bkvw", theta, phi) \
-            / (inter_c * t)
+        # transposed batched-matmul formulation: pack (T, Ce) into one
+        # contraction axis per (B, K) batch element — ~30x faster than the
+        # naive einsum lowering on TPU (PERF.md round 2,
+        # tools/bench_attn_forms.py)
+        th = jnp.transpose(theta, (0, 3, 2, 1, 4)).reshape(
+            b, num_subset, v, t * inter_c)
+        ph = jnp.transpose(phi, (0, 3, 2, 1, 4)).reshape(
+            b, num_subset, v, t * inter_c)
+        logits = jnp.einsum("bkvx,bkwx->bkvw", th, ph) / (inter_c * t)
         # softmax in fp32 for bf16 stability, result back in compute dtype
         att = jax.nn.softmax(logits.astype(jnp.float32), axis=-2)
         att = att.astype(compute.dtype)  # (B, K, V, V)
         a1 = pa[None].astype(att.dtype) + att * alpha.astype(att.dtype)
 
         out_b = sum(b_d)
-        # project-first formulation (ops/gcn.py; PERF.md round 2)
+        # training: 'agg' fuses best in the full step; inference:
+        # project-first forward is 2.6x faster (ops/gcn.apply_gcn)
+        form = self.formulation if train else "pf"
         w_stack = jnp.stack(k_d)  # (K, C, Co)
         if self.dtype is not None:
             w_stack = w_stack.astype(self.dtype)
             out_b = out_b.astype(self.dtype)
-        return gcn_ops.apply_gcn(compute, a1, w_stack,
-                                 self.formulation) + out_b
+        return gcn_ops.apply_gcn(compute, a1, w_stack, form) + out_b
 
 
 class NonAdaptiveGCN(nn.Module):
@@ -192,7 +200,7 @@ class GCNUnit(nn.Module):
     gbn_split: int = 1
     sync_axis: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
-    formulation: str = "pf"
+    formulation: str = "agg"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
@@ -260,7 +268,7 @@ class TCNGCNUnit(nn.Module):
     gbn_split: int = 1
     sync_axis: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
-    formulation: str = "pf"
+    formulation: str = "agg"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
@@ -359,7 +367,7 @@ class AAGCN(nn.Module):
     stride: int = 1          # default unit stride (plan may override)
     pad: bool = True         # default temporal-conv padding
     backbone_dim: Optional[int] = None  # channel width for plans >= 101
-    formulation: str = "pf"  # GCN formulation (ops/gcn.apply_gcn)
+    formulation: str = "agg"  # GCN formulation (ops/gcn.apply_gcn)
     sync_axis: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
 

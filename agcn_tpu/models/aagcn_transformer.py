@@ -93,11 +93,14 @@ class AAGCNTransformer(nn.Module):
         for name in [f"l{i}" for i in range(1, 11)]:
             if name not in plan:
                 continue
-            ch, stride, residual = plan[name]
-            y = TCNGCNUnit(ch, self.adj, stride=stride, residual=residual,
+            ch, stride, residual, pad = plan[name]
+            y = TCNGCNUnit(ch, self.adj,
+                           stride=self.stride if stride is None else stride,
+                           residual=residual,
                            adaptive=self.adaptive,
                            attention=self.attention,
                            kernel_size=self.kernel_size,
+                           pad=True if pad is None else pad,
                            sync_axis=self.sync_axis, dtype=self.dtype,
                            name=name)(y, train)
         y = y.astype(jnp.float32)

@@ -1,0 +1,373 @@
+"""Version-faithful AAGCN transformer variants (checkpoint-migration tier).
+
+These models reproduce specific reference experiment versions exactly —
+same math, same quirks — so their PyTorch checkpoints transplant and
+verify. The TPU-idiomatic generic model (models/aagcn_transformer.py)
+remains the performance path; these exist for per-version parity.
+
+Implemented (runnable in the mounted reference):
+- AAGCNv17 — temporal transformer over (N, M*T'+CLS, V*C) tokens
+  (reference model/architecture/aagcn/aagcn_v17.py:154-318): backbone
+  with stride=kernel_size patchify, learned/cos-sin positional encoding
+  (v17's cos-sin uses log(100), aagcn_v17.py:116-122), optional
+  forward/backward additive masks applied to the LAST layer only
+  (:274-309), CLS/GAP readout.
+- AAGCNv30 — interleaved GCN-spatial / transformer-temporal stack
+  (aagcn_v30.py:389-516): per-layer GCNUnitLocal with AdaptiveGCNV2
+  (per-sample attention, :22-58) or AdaptiveGCNV3 (per-FRAME attention,
+  :61-99 — including the reference's raw-layout `.view(N*T, -1, V)` on
+  the un-permuted phi tensor, reproduced bit-exactly), then a torch-style
+  transformer layer over (N, M*T+CLS, V*C) tokens.
+
+NOT implementable — broken as shipped in the reference (verified by
+construction attempts against the mounted tree):
+- aagcn_v29.py: references `TCNUnit` without importing/defining it
+  (aagcn_v29.py:233) -> NameError on construction.
+- aagcn_v36.py / aagcn_v37.py: their CrossTransformer builds Attention
+  with the default output_dim=-1 (crossattention.py:112,126) ->
+  "negative dimension" RuntimeError on construction; no config avoids it.
+The capability those versions describe (dual spatial/temporal streams +
+CLS cross-fusion) is provided by models/aagcn_transformer.py.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from agcn_tpu.models.aagcn import TCNGCNUnit, layer_plan
+from agcn_tpu.ops import BatchNorm, LayerNorm, PointwiseConv
+from agcn_tpu.ops import initializers as init
+from agcn_tpu.ops.attention import TransformerEncoderLayer
+
+
+def _cossin_table(d_model: int, max_len: int, base: float) -> np.ndarray:
+    """Reference CosSinPositionalEncoding table; v17 uses base=100
+    (aagcn_v17.py:119), v29/v30 use base=10000 (aagcn_v29.py:43)."""
+    position = np.arange(max_len)[:, None]
+    div = np.exp(np.arange(0, d_model, 2) * (-math.log(base) / d_model))
+    pe = np.zeros((1, max_len, d_model), np.float32)
+    pe[0, :, 0::2] = np.sin(position * div)
+    pe[0, :, 1::2] = np.cos(position * div)
+    return pe
+
+
+class PosEncoding(nn.Module):
+    """Learned (BERT-style) or fixed cos-sin positional encoding."""
+
+    kind: str              # 'learned' | 'cossin' | 'none'
+    d_model: int
+    max_len: int = 601
+    base: float = 10000.0
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.kind == "none":
+            return x
+        if self.kind == "learned":
+            pe = self.param("pe", nn.initializers.normal(0.02),
+                            (1, self.max_len, self.d_model))
+        else:
+            pe = jnp.asarray(_cossin_table(self.d_model, self.max_len,
+                                           self.base))
+        return x + pe[:, : x.shape[1], :]
+
+
+def _subsequent_additive_mask(sz: int, backward: bool) -> jnp.ndarray:
+    """torch generate_square_subsequent_mask (+optional transpose):
+    0 where allowed, -inf where disallowed (aagcn_v17.py:132-137)."""
+    allow = np.tril(np.ones((sz, sz), bool))
+    if backward:
+        allow = allow.T
+    return jnp.asarray(np.where(allow, 0.0, -1e9), jnp.float32)
+
+
+def _preprocess(x, data_norm, sync_axis, train):
+    """BaseModel.forward_preprocess (aagcn.py:480-495): data BN/LN then
+    persons folded into batch; returns (y, (n, c, t, v, m))."""
+    n, c, t, v, m = x.shape
+    if data_norm == "bn":
+        y = jnp.transpose(x, (0, 2, 4, 3, 1)).reshape(n, t, m * v * c)
+        y = BatchNorm(axis_name=sync_axis, name="data_bn")(y, train)
+        y = y.reshape(n, t, m, v, c)
+        y = jnp.transpose(y, (0, 2, 1, 3, 4)).reshape(n * m, t, v, c)
+    elif data_norm == "ln":
+        y = jnp.transpose(x, (0, 4, 2, 3, 1)).reshape(n * m, t, v * c)
+        y = LayerNorm(name="data_bn")(y)
+        y = y.reshape(n * m, t, v, c)
+    else:
+        raise ValueError(f"unknown data_norm {data_norm!r}")
+    return y, (n, c, t, v, m)
+
+
+def _backbone(y, adj, model_layers, output_channel, kernel_size, stride,
+              pad, adaptive, attention, sync_axis, train):
+    """Backbone where every unit uses the version's fixed stride
+    (the v17/v29/v30 closures pass stride=kernel_size for every layer,
+    e.g. aagcn_v17.py:206-218, ignoring the plan's strides)."""
+    plan = layer_plan(model_layers, output_channel)
+    for name in [f"l{i}" for i in range(1, 11)]:
+        if name not in plan:
+            continue
+        ch, _, residual, _ = plan[name]
+        y = TCNGCNUnit(ch, adj, stride=stride, residual=residual,
+                       adaptive=adaptive, attention=attention,
+                       kernel_size=kernel_size, pad=pad,
+                       sync_axis=sync_axis, name=name)(y, train)
+    return y
+
+
+class AAGCNv17(nn.Module):
+    """Reference aagcn_v17.py Model: AAGCN patchify backbone + temporal
+    transformer encoder with optional causal/anticausal masking."""
+
+    num_class: int = 60
+    num_point: int = 25
+    num_person: int = 2
+    in_channels: int = 3
+    adj: Any = None
+    adaptive: bool = True
+    attention: bool = True
+    data_norm: str = "bn"
+    kernel_size: int = 9
+    pad: bool = True
+    attn_masking: str = "False"   # 'False' | 'forward' | 'backward'
+    trans_num_heads: int = 2
+    trans_model_dim: int = 16
+    trans_ffn_dim: int = 64
+    trans_dropout: float = 0.2
+    trans_activation: str = "gelu"
+    trans_prenorm: bool = False
+    trans_num_layers: int = 1
+    pos_enc: str = "True"         # 'True' | 'cossin' | other -> none
+    classifier_type: str = "CLS"
+    model_layers: int = 10
+    sync_axis: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False):
+        y, (n, c, t, v, m) = _preprocess(x, self.data_norm, self.sync_axis,
+                                         train)
+        y = _backbone(y, self.adj, self.model_layers, self.trans_model_dim,
+                      self.kernel_size, self.kernel_size, self.pad,
+                      self.adaptive, self.attention, self.sync_axis, train)
+        nm, t2, v2, ch = y.shape
+        # tokens (N, M*T', V*C) with CLS (aagcn_v17.py:290-298)
+        tokens = y.reshape(n, m * t2, v2 * ch)
+        if self.classifier_type == "CLS":
+            cls = self.param("cls_token", nn.initializers.normal(1.0),
+                             (1, 1, v2 * ch))
+            tokens = jnp.concatenate(
+                [jnp.broadcast_to(cls, (n, 1, v2 * ch)), tokens], axis=1)
+        kind = "learned" if self.pos_enc in ("True", "original") else (
+            "cossin" if self.pos_enc == "cossin" else "none")
+        tokens = PosEncoding(kind, v2 * ch, base=100.0,
+                             name="pos_encoder")(tokens)
+
+        mask = None
+        if self.attn_masking in ("forward", "backward"):
+            mask = _subsequent_additive_mask(
+                tokens.shape[1], backward=self.attn_masking == "backward")
+        attn_list = []
+        for i in range(self.trans_num_layers):
+            layer_mask = mask if i == self.trans_num_layers - 1 else None
+            tokens, a = TransformerEncoderLayer(
+                num_heads=self.trans_num_heads,
+                dim_feedforward=self.trans_ffn_dim * self.num_point,
+                dropout=self.trans_dropout,
+                activation=self.trans_activation,
+                pre_norm=self.trans_prenorm,
+                name=f"layer{i}")(tokens, train, additive_mask=layer_mask)
+            attn_list.append(a)
+
+        if self.classifier_type == "CLS":
+            feat = tokens[:, 0]
+        elif self.classifier_type == "GAP":
+            feat = tokens.mean(axis=1)
+        else:
+            raise ValueError("Unknown classifier_type")
+        logits = nn.Dense(self.num_class,
+                          kernel_init=init.fc_init(self.num_class),
+                          name="fc")(feat)
+        return logits, attn_list
+
+
+class AdaptiveGCNv3(nn.Module):
+    """Per-frame adaptive attention GCN (reference aagcn_v30.py:61-99).
+
+    The phi path reproduces the reference's raw `.view(N*T, -1, V)` on
+    the (N, C, T, V)-ordered tensor — a layout quirk that interleaves
+    channel and time — exactly.
+    """
+
+    out_channels: int
+    inter_channels: int
+    adj: Any
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False):
+        # x: (NM, T, V, C) channels-last
+        num_subset = self.adj.shape[0]
+        nm, t, v, c = x.shape
+        pa = self.param("PA", lambda k, s: jnp.asarray(self.adj,
+                                                       jnp.float32),
+                        self.adj.shape)
+        alpha = self.param("alpha", nn.initializers.zeros, (1,))
+        y = None
+        for k in range(num_subset):
+            theta = PointwiseConv(self.inter_channels,
+                                  name=f"conv_a{k}")(x)  # (NM,T,V,Ci)
+            phi = PointwiseConv(self.inter_channels,
+                                name=f"conv_b{k}")(x)
+            theta = theta.reshape(nm * t, v, self.inter_channels)
+            # reference: conv_b out in (N, Ci, T, V) order viewed as
+            # (N*T, Ci, V) WITHOUT permuting — reproduce that layout
+            phi_nchw = jnp.transpose(phi, (0, 3, 1, 2))  # (NM, Ci, T, V)
+            phi = phi_nchw.reshape(nm * t, self.inter_channels, v)
+            logits = jnp.einsum("bvc,bcw->bvw", theta, phi) \
+                / self.inter_channels
+            att = jax.nn.softmax(logits, axis=-2)
+            a1 = pa[k][None] + att * alpha  # (NM*T, V, V)
+            a1 = a1.reshape(nm, t, v, v)
+            agg = jnp.einsum("btvc,btvw->btwc", x, a1)
+            z = PointwiseConv(self.out_channels, name=f"conv_d{k}")(agg)
+            y = z if y is None else y + z
+        return y
+
+
+class AdaptiveGCNv2(nn.Module):
+    """Per-sample adaptive attention GCN (reference aagcn_v30.py:22-58;
+    mathematically the base AdaptiveGCN with attention-output plumbing)."""
+
+    out_channels: int
+    inter_channels: int
+    adj: Any
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False):
+        num_subset = self.adj.shape[0]
+        nm, t, v, c = x.shape
+        pa = self.param("PA", lambda k, s: jnp.asarray(self.adj,
+                                                       jnp.float32),
+                        self.adj.shape)
+        alpha = self.param("alpha", nn.initializers.zeros, (1,))
+        y = None
+        for k in range(num_subset):
+            theta = PointwiseConv(self.inter_channels,
+                                  name=f"conv_a{k}")(x)
+            phi = PointwiseConv(self.inter_channels,
+                                name=f"conv_b{k}")(x)
+            logits = jnp.einsum("btvc,btwc->bvw", theta, phi) \
+                / (self.inter_channels * t)
+            att = jax.nn.softmax(logits, axis=-2)
+            a1 = pa[k][None] + att * alpha  # (NM, V, V)
+            agg = jnp.einsum("btvc,bvw->btwc", x, a1)
+            z = PointwiseConv(self.out_channels, name=f"conv_d{k}")(agg)
+            y = z if y is None else y + z
+        return y
+
+
+class GCNUnitLocal(nn.Module):
+    """GCNUnit wrapper used as the v30 'spatial transformer' layer
+    (aagcn_v30.py:102-124): agcn -> BN(+1e-6 init) + identity residual
+    -> ReLU, attention off."""
+
+    dim: int
+    adj: Any
+    gcn_version: str = "v3"    # 'v2' | 'v3'
+    coff_embedding: int = 4
+    sync_axis: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False):
+        inter = self.dim // self.coff_embedding
+        cls = AdaptiveGCNv2 if self.gcn_version == "v2" else AdaptiveGCNv3
+        y = cls(self.dim, inter, self.adj, name="agcn")(x, train)
+        y = BatchNorm(scale_init_value=1e-6, axis_name=self.sync_axis,
+                      name="bn")(y, train)
+        return nn.relu(y + x)
+
+
+class AAGCNv30(nn.Module):
+    """Reference aagcn_v30.py Model: interleaved GCN-spatial /
+    transformer-temporal layers over patchified AAGCN features."""
+
+    num_class: int = 60
+    num_point: int = 25
+    num_person: int = 2
+    in_channels: int = 3
+    adj: Any = None
+    adaptive: bool = True
+    attention: bool = True
+    kernel_size: int = 9
+    pad: bool = True
+    backbone_dim: int = 64
+    gcn_trans_unit: str = "v3"
+    t_num_heads: int = 2
+    t_model_dim: int = 64       # per-joint dim; token dim = dim * V
+    t_ffn_dim: int = 256
+    t_dropout: float = 0.0
+    t_activation: str = "gelu"
+    t_prenorm: bool = False
+    num_layers: int = 3
+    pos_enc: str = "True"
+    classifier_type: str = "CLS"
+    model_layers: int = 101
+    sync_axis: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False):
+        y, (n, c, t, v, m) = _preprocess(x, "bn", self.sync_axis, train)
+        y = _backbone(y, self.adj, self.model_layers, self.backbone_dim,
+                      self.kernel_size, self.kernel_size, self.pad,
+                      self.adaptive, self.attention, self.sync_axis, train)
+        nm, t2, v2, ch = y.shape
+        t_dim = self.t_model_dim * self.num_point
+        tokens = y.reshape(n, m * t2, v2 * ch)
+        if self.classifier_type == "CLS":
+            cls = self.param("cls_token", nn.initializers.normal(1.0),
+                             (1, 1, t_dim))
+            tokens = jnp.concatenate(
+                [jnp.broadcast_to(cls, (n, 1, t_dim)), tokens], axis=1)
+        kind = "learned" if self.pos_enc in ("True", "original") else (
+            "cossin" if self.pos_enc == "cossin" else "none")
+        tokens = PosEncoding(kind, t_dim, name="t_pos_encoder")(tokens)
+
+        has_cls = self.classifier_type == "CLS"
+        attn = []
+        for i in range(self.num_layers):
+            # spatial: non-CLS tokens -> (NM, T, V, C) -> GCNUnitLocal
+            body = tokens[:, 1:] if has_cls else tokens
+            x0 = body.reshape(n, m, t2, v2, ch).reshape(n * m, t2, v2, ch)
+            x0 = GCNUnitLocal(ch, self.adj,
+                              gcn_version=self.gcn_trans_unit,
+                              sync_axis=self.sync_axis,
+                              name=f"s_layer{i}")(x0, train)
+            body = x0.reshape(n, m * t2, v2 * ch)
+            tokens = jnp.concatenate([tokens[:, :1], body], axis=1) \
+                if has_cls else body
+            # temporal: torch transformer layer over all tokens
+            tokens, a = TransformerEncoderLayer(
+                num_heads=self.t_num_heads,
+                dim_feedforward=self.t_ffn_dim,
+                dropout=self.t_dropout,
+                activation=self.t_activation,
+                pre_norm=self.t_prenorm,
+                name=f"t_layer{i}")(tokens, train)
+            attn.append(a)
+
+        if self.classifier_type == "CLS":
+            feat = tokens[:, 0]
+        elif self.classifier_type == "GAP":
+            feat = tokens.mean(axis=1)
+        else:
+            raise ValueError("Unknown classifier_type")
+        logits = nn.Dense(self.num_class,
+                          kernel_init=init.fc_init(self.num_class),
+                          name="fc")(feat)
+        return logits, attn

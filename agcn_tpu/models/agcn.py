@@ -43,7 +43,8 @@ class UnitGCN(nn.Module):
     sync_axis: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
     use_pallas: bool = False
-    formulation: str = "pf"  # 'pf' | 'custom' | 'agg' (ops/gcn.apply_gcn)
+    formulation: str = "agg"  # 'pf' | 'custom' | 'agg' (ops/gcn.apply_gcn)
+    edge_mesh: Any = None  # Mesh with 'edge' axis: in-model edge partition
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
@@ -88,8 +89,15 @@ class UnitGCN(nn.Module):
 
         # per-subset attention: softmax over the source joint axis
         # (agcn.py:99-101; divisor Ce * T)
-        logits = jnp.einsum("btvkc,btwkc->bkvw", theta, phi) \
-            / (inter_c * t)
+        # transposed batched-matmul formulation: pack (T, Ce) into one
+        # contraction axis per (B, K) batch element — ~30x faster than the
+        # naive einsum lowering on TPU (PERF.md round 2,
+        # tools/bench_attn_forms.py)
+        th = jnp.transpose(theta, (0, 3, 2, 1, 4)).reshape(
+            b, num_subset, v, t * inter_c)
+        ph = jnp.transpose(phi, (0, 3, 2, 1, 4)).reshape(
+            b, num_subset, v, t * inter_c)
+        logits = jnp.einsum("bkvx,bkwx->bkvw", th, ph) / (inter_c * t)
         # softmax in fp32 for bf16 stability, result back in compute dtype
         att = jax.nn.softmax(logits.astype(jnp.float32), axis=-2)
         att = att.astype(compute.dtype)  # (B, K, V, V)
@@ -106,14 +114,28 @@ class UnitGCN(nn.Module):
                 w_stack = w_stack.astype(self.dtype)
                 out_b = out_b.astype(self.dtype)
             y = fused_gcn(compute, a1, w_stack) + out_b
-        else:
-            # project-first formulation (ops/gcn.py; PERF.md round 2)
+        elif self.edge_mesh is not None \
+                and self.edge_mesh.shape.get("edge", 1) > 1:
+            # north-star path: adjacency subsets partitioned over the
+            # 'edge' mesh axis, partials combined by an overlapped
+            # time-chunked ring (parallel/edge_partition.model_edge_gcn)
+            from agcn_tpu.parallel.edge_partition import model_edge_gcn
+
             w_stack = jnp.stack(k_d)  # (K, C, Co)
             if self.dtype is not None:
                 w_stack = w_stack.astype(self.dtype)
                 out_b = out_b.astype(self.dtype)
-            y = gcn_ops.apply_gcn(compute, a1, w_stack,
-                                  self.formulation) + out_b
+            y = model_edge_gcn(compute, a1, w_stack,
+                               self.edge_mesh) + out_b
+        else:
+            # training: 'agg' fuses best in the full step; inference:
+            # project-first forward is 2.6x faster (ops/gcn.apply_gcn)
+            form = self.formulation if train else "pf"
+            w_stack = jnp.stack(k_d)  # (K, C, Co)
+            if self.dtype is not None:
+                w_stack = w_stack.astype(self.dtype)
+                out_b = out_b.astype(self.dtype)
+            y = gcn_ops.apply_gcn(compute, a1, w_stack, form) + out_b
 
         y = BatchNorm(scale_init_value=1e-6, axis_name=self.sync_axis,
                       name="bn")(y, train)
@@ -155,7 +177,8 @@ class STGCNBlock(nn.Module):
     sync_axis: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
     use_pallas: bool = False
-    formulation: str = "pf"
+    formulation: str = "agg"
+    edge_mesh: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
@@ -163,6 +186,7 @@ class STGCNBlock(nn.Module):
         y = UnitGCN(self.out_channels, self.adj, sync_axis=self.sync_axis,
                     dtype=self.dtype, use_pallas=self.use_pallas,
                     formulation=self.formulation,
+                    edge_mesh=self.edge_mesh,
                     name="gcn1")(x, train)
         y = UnitTCN(self.out_channels, stride=self.stride,
                     sync_axis=self.sync_axis, dtype=self.dtype,
@@ -194,7 +218,8 @@ class _ScanBlockBody(nn.Module):
     sync_axis: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
     use_pallas: bool = False
-    formulation: str = "pf"
+    formulation: str = "agg"
+    edge_mesh: Any = None
 
     @nn.compact
     def __call__(self, carry, train):
@@ -202,6 +227,7 @@ class _ScanBlockBody(nn.Module):
                        sync_axis=self.sync_axis, dtype=self.dtype,
                        use_pallas=self.use_pallas,
                        formulation=self.formulation,
+                       edge_mesh=self.edge_mesh,
                        name="block")(carry, train)
         return y, None
 
@@ -238,7 +264,8 @@ class AGCN(nn.Module):
     sync_axis: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
     use_pallas: bool = False
-    formulation: str = "pf"  # GCN formulation (ops/gcn.apply_gcn)
+    formulation: str = "agg"  # GCN formulation (ops/gcn.apply_gcn)
+    edge_mesh: Any = None  # Mesh with 'edge' axis: in-model edge partition
     remat: bool = False  # rematerialize blocks: trade FLOPs for HBM
     scan_blocks: bool = False  # scan homogeneous block groups (fast compile)
 
@@ -258,7 +285,8 @@ class AGCN(nn.Module):
 
         common = dict(sync_axis=self.sync_axis, dtype=self.dtype,
                       use_pallas=self.use_pallas,
-                      formulation=self.formulation)
+                      formulation=self.formulation,
+                      edge_mesh=self.edge_mesh)
         if self.scan_blocks:
             # l1 / scan(l2-l4) / l5 / scan(l6-l7) / l8 / scan(l9-l10)
             x = STGCNBlock(64, self.adj, stride=1, residual=False,

@@ -32,6 +32,11 @@ _ALIASES = {
     "model.architecture.sgn.sgn_v15.SGN": "sgn_transformer",
     "model.aagcn_v37.Model": "aagcn_transformer",
     "model.architecture.aagcn.aagcn_v37.Model": "aagcn_transformer",
+    # version-faithful variants (models/aagcn_versions.py)
+    "model.aagcn_v17.Model": "aagcn_v17",
+    "model.architecture.aagcn.aagcn_v17.Model": "aagcn_v17",
+    "model.aagcn_v30.Model": "aagcn_v30",
+    "model.architecture.aagcn.aagcn_v30.Model": "aagcn_v30",
 }
 
 
@@ -42,7 +47,7 @@ def _build_agcn(model_args: Dict[str, Any], cls):
     adj = build_adjacency(graph, **graph_args)
     # reference arg names we normalize
     args.pop("num_subset", None)
-    if "drop_out" in args and cls is AGCN:
+    if "drop_out" in args and cls is not AAGCN:
         args.pop("drop_out")
     return cls(adj=adj, **args)
 
@@ -64,6 +69,11 @@ def build_model(name: str, model_args: Dict[str, Any]):
         return _build_agcn(model_args, AAGCN)
     if key == "aagcn_transformer":
         return _build_agcn(model_args, AAGCNTransformer)
+    if key in ("aagcn_v17", "aagcn_v30"):
+        from agcn_tpu.models.aagcn_versions import AAGCNv17, AAGCNv30
+
+        cls = AAGCNv17 if key == "aagcn_v17" else AAGCNv30
+        return _build_agcn(model_args, cls)
     if key == "sgn_transformer":
         args = dict(model_args)
         if "bias" in args:

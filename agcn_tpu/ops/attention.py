@@ -97,7 +97,8 @@ class MultiheadAttention(nn.Module):
 
     @nn.compact
     def __call__(self, query, key=None, value=None,
-                 mask: Optional[jnp.ndarray] = None
+                 mask: Optional[jnp.ndarray] = None,
+                 additive_mask: Optional[jnp.ndarray] = None
                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         key = query if key is None else key
         value = key if value is None else value
@@ -127,6 +128,10 @@ class MultiheadAttention(nn.Module):
                                           name="rel_pos")(q)
         if mask is not None:
             logits = jnp.where(mask, logits, -1e9)
+        if additive_mask is not None:
+            # torch attn_mask semantics: float mask ADDED to the logits
+            # ((L, L) or (B, H, L, L)); -inf is clamped for softmax safety
+            logits = logits + jnp.maximum(additive_mask, -1e9)
         attn = jax.nn.softmax(logits, axis=-1)
         out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
         bsz, _, t, _ = out.shape
@@ -148,7 +153,8 @@ class TransformerEncoderLayer(nn.Module):
     pre_norm: bool = False
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False
+    def __call__(self, x: jnp.ndarray, train: bool = False,
+                 additive_mask: Optional[jnp.ndarray] = None
                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         act = nn.relu if self.activation == "relu" else nn.gelu
 
@@ -158,15 +164,22 @@ class TransformerEncoderLayer(nn.Module):
                                   deterministic=not train)(y)
             return y
 
-        attn_in = nn.LayerNorm(name="norm1")(x) if self.pre_norm else x
+        # NOTE the reference's pre-norm variant REASSIGNS src = norm(src),
+        # so the residual adds onto the normed tensor, not the raw input
+        # (aagcn_v29.py:86-97 / v17's TransformerEncoderLayerExt) — kept
+        # for checkpoint parity.
+        if self.pre_norm:
+            x = nn.LayerNorm(name="norm1")(x)
         attn_out, attn = MultiheadAttention(
-            self.num_heads, name="self_attn")(attn_in)
+            self.num_heads, name="self_attn")(
+            x, additive_mask=additive_mask)
         x = x + drop(attn_out)
         if not self.pre_norm:
             x = nn.LayerNorm(name="norm1")(x)
 
-        ff_in = nn.LayerNorm(name="norm2")(x) if self.pre_norm else x
-        y = nn.Dense(self.dim_feedforward, name="linear1")(ff_in)
+        if self.pre_norm:
+            x = nn.LayerNorm(name="norm2")(x)
+        y = nn.Dense(self.dim_feedforward, name="linear1")(x)
         y = drop(act(y))
         y = nn.Dense(x.shape[-1], name="linear2")(y)
         x = x + drop(y)

@@ -158,11 +158,14 @@ def adaptive_gcn_reference(x: jnp.ndarray, a1: jnp.ndarray, w: jnp.ndarray
 
 
 def apply_gcn(x: jnp.ndarray, a1: jnp.ndarray, w: jnp.ndarray,
-              formulation: str = "pf") -> jnp.ndarray:
-    """Dispatch between GCN formulations (tools/bench_gcn_forms.py):
-    'pf' project-first under plain autodiff (fastest full-step on TPU),
-    'custom' project-first with the hand-tuned VJP, 'agg'
-    aggregate-then-project."""
+              formulation: str = "agg") -> jnp.ndarray:
+    """Dispatch between GCN formulations: 'pf' project-first (fastest
+    FORWARD — 2.6x — and fastest in isolated fwd+bwd micro-benches),
+    'custom' project-first with a hand-tuned VJP, 'agg'
+    aggregate-then-project (fastest FULL train step in context: XLA's
+    cross-op fusion around the agg form beats the pf form's isolated win;
+    tools/bench_full_forms.py: agg 222 vs pf 178 vs custom 173 seq/s).
+    Models default to 'agg' for training and 'pf' at inference."""
     if formulation == "pf":
         return _adaptive_gcn_fwd_impl(x, a1, w)
     if formulation == "custom":

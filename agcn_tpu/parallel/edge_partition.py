@@ -148,6 +148,94 @@ def make_hybrid_partitioned_gcn(adj: np.ndarray, mesh: Mesh) -> Callable:
     return run, jnp.asarray(parts)
 
 
+def model_edge_gcn(x: jnp.ndarray, a1: jnp.ndarray, w: jnp.ndarray,
+                   mesh: Mesh) -> jnp.ndarray:
+    """In-model edge-partitioned adaptive GCN with compute/comm overlap.
+
+    This is the training-path version of the north star: the model's own
+    batched aggregation y = sum_k (x @ A1_k) @ W_k runs with the K
+    adjacency subsets partitioned across the 'edge' mesh axis (each
+    device owns ceil(K/P) subsets -> ~1/P of the FLOPs) and the partial
+    destination features combined by a time-chunked ring:
+
+      reduce-scatter phase: at ring hop h each device ppermutes its
+      accumulated time-chunk while COMPUTING the partial for the chunk
+      arriving next — the collective rides ICI concurrently with the
+      einsum (explicit double-buffer overlap, not one blocking psum);
+      all-gather phase: P-1 further hops circulate the finished chunks.
+
+    Args:
+      x: (B, T, V, C) — replicated over 'edge' (shard batch over 'data').
+      a1: (B, K, V, V) combined data-dependent adjacency (replicated).
+      w: (K, C, Co) per-subset projection kernels (replicated).
+      mesh: mesh with an 'edge' axis of size P; T must be divisible by P.
+    Returns:
+      (B, T, V, Co), replicated over 'edge'; numerically identical to
+      ops/gcn.apply_gcn(x, a1, w).
+    """
+    p = mesh.shape["edge"]
+    if p == 1:
+        partial = jnp.einsum("btvc,bkvw->kbtwc", x, a1)
+        return jnp.einsum("kbtwc,kco->btwo", partial, w)
+    k = a1.shape[1]
+    k_pad = -k % p
+    per = (k + k_pad) // p
+    t_total = x.shape[1]
+    assert t_total % p == 0, f"T={t_total} not divisible by edge={p}"
+    tc = t_total // p
+    fwd = [(i, (i + 1) % p) for i in range(p)]
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(), P(), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    def run(xl, a1l, wl):
+        d = jax.lax.axis_index("edge")
+        if k_pad:
+            a1l = jnp.concatenate(
+                [a1l, jnp.zeros(a1l.shape[:1] + (k_pad,) + a1l.shape[2:],
+                                a1l.dtype)], axis=1)
+            wl = jnp.concatenate(
+                [wl, jnp.zeros((k_pad,) + wl.shape[1:], wl.dtype)])
+        my_a1 = jax.lax.dynamic_slice_in_dim(a1l, d * per, per, axis=1)
+        my_w = jax.lax.dynamic_slice_in_dim(wl, d * per, per, axis=0)
+
+        def chunk_partial(c):
+            """Local (owned-subsets) output partial for time chunk c."""
+            xc = jax.lax.dynamic_slice_in_dim(xl, c * tc, tc, axis=1)
+            agg = jnp.einsum("btvc,bkvw->kbtwc", xc, my_a1)
+            return jnp.einsum("kbtwc,kco->btwo", agg, my_w)
+
+        # reduce-scatter with overlap: the ppermute of the accumulated
+        # buffer and the einsum for the arriving chunk have no data
+        # dependence, so the compiler runs them concurrently
+        buf = chunk_partial(d)
+        for h in range(1, p):
+            sent = jax.lax.ppermute(buf, "edge", fwd)
+            mine = chunk_partial((d - h) % p)
+            buf = sent + mine
+        # device d now holds the fully-reduced chunk (d + 1) % p
+        # all-gather phase: circulate finished chunks
+        chunks = [(buf, (d + 1) % p)]
+        for _ in range(p - 1):
+            buf = jax.lax.ppermute(buf, "edge", fwd)
+            chunks.append((buf, None))
+        # chunk received at gather-hop g is chunk (d - g + 1) % p; place
+        # every chunk at its static slot via one-hot masking over a
+        # symmetric index (avoids gather with traced indices)
+        out = jnp.zeros(xl.shape[:1] + (t_total,) + xl.shape[2:-1]
+                        + (wl.shape[-1],), buf.dtype)
+        for g, (cbuf, _) in enumerate(chunks):
+            idx = ((d - g + 1) % p) * tc
+            out = jax.lax.dynamic_update_slice_in_dim(out, cbuf, idx,
+                                                      axis=1)
+        return out
+
+    return run(x, a1, w)
+
+
 def make_edge_partitioned_gcn(adj: np.ndarray, mesh: Mesh,
                               combiner: str = "psum") -> Callable:
     """Build y = sum_k (x @ A_k) @ W_k with edge-sharded aggregation.

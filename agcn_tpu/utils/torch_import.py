@@ -316,6 +316,89 @@ def sgn_variables_from_torch(sd: Mapping[str, Any]) -> Dict[str, Dict]:
     return tree
 
 
+def _transformer_layer(tree: Dict, sd: Mapping[str, np.ndarray],
+                       torch_prefix: str, flax_path: Tuple[str, ...]) -> None:
+    """torch nn.TransformerEncoderLayer -> our TransformerEncoderLayer."""
+    _set(tree["params"], flax_path + ("self_attn", "in_proj_kernel"),
+         np.ascontiguousarray(sd[f"{torch_prefix}.self_attn."
+                                 f"in_proj_weight"].T))
+    _set(tree["params"], flax_path + ("self_attn", "in_proj_bias"),
+         sd[f"{torch_prefix}.self_attn.in_proj_bias"])
+    _set(tree["params"], flax_path + ("self_attn", "out_proj", "kernel"),
+         linear_kernel(sd[f"{torch_prefix}.self_attn.out_proj.weight"]))
+    _set(tree["params"], flax_path + ("self_attn", "out_proj", "bias"),
+         sd[f"{torch_prefix}.self_attn.out_proj.bias"])
+    for lin in ("linear1", "linear2"):
+        _set(tree["params"], flax_path + (lin, "kernel"),
+             linear_kernel(sd[f"{torch_prefix}.{lin}.weight"]))
+        _set(tree["params"], flax_path + (lin, "bias"),
+             sd[f"{torch_prefix}.{lin}.bias"])
+    for norm in ("norm1", "norm2"):
+        _set(tree["params"], flax_path + (norm, "scale"),
+             sd[f"{torch_prefix}.{norm}.weight"])
+        _set(tree["params"], flax_path + (norm, "bias"),
+             sd[f"{torch_prefix}.{norm}.bias"])
+
+
+def aagcn_v17_variables_from_torch(sd: Mapping[str, Any],
+                                   data_norm: str = "bn") -> Dict[str, Dict]:
+    """Map reference aagcn_v17.py Model -> models/aagcn_versions.AAGCNv17."""
+    tree = aagcn_variables_from_torch(sd, data_norm=data_norm)
+    sdn = state_dict_to_numpy(sd)
+    if "cls_token" in sdn:
+        _set(tree["params"], ("cls_token",), sdn["cls_token"])
+    if "pos_encoder.pe" in sdn:
+        _set(tree["params"], ("pos_encoder", "pe"), sdn["pos_encoder.pe"])
+    i = 0
+    while f"trans_enc.{i}.self_attn.in_proj_weight" in sdn:
+        _transformer_layer(tree, sdn, f"trans_enc.{i}", (f"layer{i}",))
+        i += 1
+    return tree
+
+
+def aagcn_v30_variables_from_torch(sd: Mapping[str, Any]
+                                   ) -> Dict[str, Dict]:
+    """Map reference aagcn_v30.py Model -> models/aagcn_versions.AAGCNv30."""
+    tree = aagcn_variables_from_torch(sd)
+    sdn = state_dict_to_numpy(sd)
+    if "cls_token" in sdn:
+        _set(tree["params"], ("cls_token",), sdn["cls_token"])
+    if "t_pos_encoder.pe" in sdn:
+        _set(tree["params"], ("t_pos_encoder", "pe"),
+             sdn["t_pos_encoder.pe"])
+    i = 0
+    while f"t_trans_enc_layers.{i}.self_attn.in_proj_weight" in sdn:
+        _transformer_layer(tree, sdn, f"t_trans_enc_layers.{i}",
+                           (f"t_layer{i}",))
+        i += 1
+    i = 0
+    while f"s_trans_enc_layers.{i}.agcn.PA" in sdn:
+        p = f"s_trans_enc_layers.{i}"
+        g = (f"s_layer{i}",)
+        _set(tree["params"], g + ("agcn", "PA"), sdn[f"{p}.agcn.PA"])
+        _set(tree["params"], g + ("agcn", "alpha"), sdn[f"{p}.agcn.alpha"])
+        k = 0
+        while f"{p}.agcn.conv_a.{k}.weight" in sdn:
+            for role in ("a", "b"):
+                _set(tree["params"],
+                     g + ("agcn", f"conv_{role}{k}", "conv", "kernel"),
+                     pointwise_kernel(sdn[f"{p}.agcn.conv_{role}.{k}"
+                                          f".weight"]))
+                _set(tree["params"],
+                     g + ("agcn", f"conv_{role}{k}", "conv", "bias"),
+                     sdn[f"{p}.agcn.conv_{role}.{k}.bias"])
+            _set(tree["params"],
+                 g + ("agcn", f"conv_d{k}", "conv", "kernel"),
+                 pointwise_kernel(sdn[f"{p}.conv_d.{k}.weight"]))
+            _set(tree["params"],
+                 g + ("agcn", f"conv_d{k}", "conv", "bias"),
+                 sdn[f"{p}.conv_d.{k}.bias"])
+            k += 1
+        _bn(tree, g + ("bn",), g + ("bn",), sdn, f"{p}.bn")
+        i += 1
+    return tree
+
+
 def agcn_variables_from_torch(sd: Mapping[str, Any],
                               num_subset: int = 3) -> Dict[str, Dict]:
     """Map the reference AGCN state_dict (agcn.py Model) onto our AGCN."""

@@ -1,0 +1,52 @@
+"""Every shipped config recipe must load through the config system and
+build its model (the two-stream train/test workflow is config-complete
+for all five BASELINE families)."""
+
+import glob
+import os
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from agcn_tpu.models.registry import build_model
+from agcn_tpu.utils.config import load_config
+
+from .conftest import REPO_ROOT
+
+CONFIGS = sorted(glob.glob(os.path.join(REPO_ROOT, "configs", "**",
+                                        "*.yaml"), recursive=True))
+
+
+def test_families_complete():
+    """All 5 BASELINE families ship train+test x joint+bone."""
+    for fam in ("ntu60_xview", "ntu60_xsub", "kinetics",
+                "openpose_b25_j15_xview", "openpose_b25_j15_xsub"):
+        for kind in ("train", "test"):
+            for stream in ("joint", "bone"):
+                path = os.path.join(REPO_ROOT, "configs", fam,
+                                    f"{kind}_{stream}.yaml")
+                assert os.path.exists(path), path
+
+
+@pytest.mark.parametrize("path", CONFIGS,
+                         ids=[os.path.relpath(p, REPO_ROOT)
+                              for p in CONFIGS])
+def test_config_loads_and_model_builds(path):
+    cfg = load_config(path)
+    model = build_model(cfg.model, cfg.model_args)
+    # init on a tiny input to prove the config's model_args are coherent
+    if cfg.use_sgn_dataloader or "sgn" in cfg.model.lower():
+        seg = cfg.train_dataloader_args.get(
+            "seg", cfg.test_dataloader_args.get("seg", 20))
+        v = cfg.model_args.get("num_point", 25)
+        c = cfg.model_args.get("in_channels", 3)
+        x = jnp.zeros((2, seg, v * c), jnp.float32)
+    else:
+        v = cfg.model_args.get("num_point", 25)
+        m = cfg.model_args.get("num_person", 2)
+        c = cfg.model_args.get("in_channels", 3)
+        t = 18 if "transformer" not in cfg.model else 27
+        x = jnp.zeros((2, c, t, v, m), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    assert variables["params"]
