@@ -88,7 +88,7 @@ class AdaptiveGCN(nn.Module):
     inter_channels: int
     adj: Any  # (K, V, V) initial value for PA
     dtype: Optional[jnp.dtype] = None
-    formulation: str = "agg"  # ops/gcn.apply_gcn
+    formulation: str = "agg_packed"  # ops/gcn.apply_gcn
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -200,7 +200,7 @@ class GCNUnit(nn.Module):
     gbn_split: int = 1
     sync_axis: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
-    formulation: str = "agg"
+    formulation: str = "agg_packed"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
@@ -268,7 +268,7 @@ class TCNGCNUnit(nn.Module):
     gbn_split: int = 1
     sync_axis: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
-    formulation: str = "agg"
+    formulation: str = "agg_packed"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
@@ -367,7 +367,7 @@ class AAGCN(nn.Module):
     stride: int = 1          # default unit stride (plan may override)
     pad: bool = True         # default temporal-conv padding
     backbone_dim: Optional[int] = None  # channel width for plans >= 101
-    formulation: str = "agg"  # GCN formulation (ops/gcn.apply_gcn)
+    formulation: str = "agg_packed"  # GCN formulation (ops/gcn.apply_gcn)
     sync_axis: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
 

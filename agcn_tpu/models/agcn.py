@@ -43,7 +43,7 @@ class UnitGCN(nn.Module):
     sync_axis: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
     use_pallas: bool = False
-    formulation: str = "agg"  # 'pf' | 'custom' | 'agg' (ops/gcn.apply_gcn)
+    formulation: str = "agg_packed"  # 'pf' | 'custom' | 'agg' (ops/gcn.apply_gcn)
     edge_mesh: Any = None  # Mesh with 'edge' axis: in-model edge partition
 
     @nn.compact
@@ -177,7 +177,7 @@ class STGCNBlock(nn.Module):
     sync_axis: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
     use_pallas: bool = False
-    formulation: str = "agg"
+    formulation: str = "agg_packed"
     edge_mesh: Any = None
 
     @nn.compact
@@ -218,7 +218,7 @@ class _ScanBlockBody(nn.Module):
     sync_axis: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
     use_pallas: bool = False
-    formulation: str = "agg"
+    formulation: str = "agg_packed"
     edge_mesh: Any = None
 
     @nn.compact
@@ -264,7 +264,7 @@ class AGCN(nn.Module):
     sync_axis: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
     use_pallas: bool = False
-    formulation: str = "agg"  # GCN formulation (ops/gcn.apply_gcn)
+    formulation: str = "agg_packed"  # GCN formulation (ops/gcn.apply_gcn)
     edge_mesh: Any = None  # Mesh with 'edge' axis: in-model edge partition
     remat: bool = False  # rematerialize blocks: trade FLOPs for HBM
     scan_blocks: bool = False  # scan homogeneous block groups (fast compile)

@@ -157,21 +157,51 @@ def adaptive_gcn_reference(x: jnp.ndarray, a1: jnp.ndarray, w: jnp.ndarray
     return agg @ w.reshape(k * c, -1)
 
 
+def adaptive_gcn_pf_packed(x, a1, w):
+    """Project-first with (k,v) packed as one explicit contraction axis
+    (tools/bench_agg_forms.py 'pf-packed')."""
+    b, t, v, c = x.shape
+    k, _, co = w.shape
+    wc = jnp.transpose(w, (1, 0, 2)).reshape(c, k * co)
+    p = (x @ wc).reshape(b, t, v, k, co)
+    p2 = jnp.transpose(p, (0, 1, 4, 3, 2)).reshape(b, t * co, k * v)
+    a2 = a1.reshape(b, k * v, v)
+    y = jnp.einsum("bmx,bxw->bmw", p2, a2)
+    return jnp.transpose(y.reshape(b, t, co, v), (0, 1, 3, 2))
+
+
+def adaptive_gcn_agg_packed(x, a1, w):
+    """Aggregate-then-project with the aggregation as an explicit
+    (T*C, V) x (V, K*V) batched matmul ('agg-packed')."""
+    b, t, v, c = x.shape
+    k = a1.shape[1]
+    x2 = jnp.transpose(x, (0, 1, 3, 2)).reshape(b, t * c, v)
+    a2 = jnp.transpose(a1, (0, 2, 1, 3)).reshape(b, v, k * v)
+    z = jnp.einsum("bmv,bvn->bmn", x2, a2)  # (B, T*C, K*V)
+    z = z.reshape(b, t, c, k, v)
+    z = jnp.transpose(z, (0, 1, 4, 3, 2)).reshape(b, t, v, k * c)
+    return z @ w.reshape(k * c, -1)
+
+
 def apply_gcn(x: jnp.ndarray, a1: jnp.ndarray, w: jnp.ndarray,
               formulation: str = "agg") -> jnp.ndarray:
-    """Dispatch between GCN formulations: 'pf' project-first (fastest
-    FORWARD — 2.6x — and fastest in isolated fwd+bwd micro-benches),
-    'custom' project-first with a hand-tuned VJP, 'agg'
-    aggregate-then-project (fastest FULL train step in context: XLA's
-    cross-op fusion around the agg form beats the pf form's isolated win;
-    tools/bench_full_forms.py: agg 222 vs pf 178 vs custom 173 seq/s).
-    Models default to 'agg' for training and 'pf' at inference."""
+    """Dispatch between GCN formulations. Full-train-step ranking on TPU
+    (tools/bench_full_forms.py, batch 64, with the transposed logits):
+    agg_packed 279 > agg ~248 > pf_packed 251 > pf 178 > custom 173
+    seq/s. Isolated micro-benches rank differently (pf wins) — only the
+    full step decides, because XLA's cross-op fusion dominates. Models
+    default to 'agg_packed' for training and 'pf' at inference (fastest
+    forward-only, 2.6x)."""
     if formulation == "pf":
         return _adaptive_gcn_fwd_impl(x, a1, w)
     if formulation == "custom":
         return adaptive_gcn(x, a1, w)
     if formulation == "agg":
         return adaptive_gcn_reference(x, a1, w)
+    if formulation == "pf_packed":
+        return adaptive_gcn_pf_packed(x, a1, w)
+    if formulation == "agg_packed":
+        return adaptive_gcn_agg_packed(x, a1, w)
     raise ValueError(f"unknown GCN formulation {formulation!r}")
 
 

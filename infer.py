@@ -49,6 +49,21 @@ def main(argv=None):
     p.add_argument("--moving-avg", type=int, default=1)
     p.add_argument("--max-frame", type=int, default=300)
     p.add_argument("--allowed-classes", type=int, nargs="*", default=None)
+    # reference inference flag surface (utils/parser.py:229-243)
+    p.add_argument("--num-joint", type=int, default=None,
+                   help="override the model's joint count")
+    p.add_argument("--max-num-skeleton", type=int, default=4,
+                   help="ring-buffer person slots")
+    p.add_argument("--max-num-skeleton-true", type=int, default=2,
+                   help="skeletons fed to the model (energy-selected)")
+    p.add_argument("--aagcn-normalize", type=lambda s: s.lower() in
+                   ("1", "true", "yes"), default=True)
+    p.add_argument("--multi-test", type=int, default=None,
+                   help="override SGN multi-crop count")
+    p.add_argument("--label-mapping-file", type=str, default=None,
+                   help="text file: one class name per line")
+    p.add_argument("--out-folder", type=str, default=None,
+                   help="write per-frame predictions to <dir>/results.txt")
     args = p.parse_args(argv)
 
     from agcn_tpu.infer import ActionRecognition
@@ -63,24 +78,46 @@ def main(argv=None):
                  "batch_stats": ckpt.get("batch_stats", {})}
 
     kind = "sgn" if "sgn" in cfg.model.lower() else "dense"
-    num_joint = cfg.model_args.get("num_point", 25)
+    num_joint = args.num_joint or cfg.model_args.get("num_point", 25)
+    multi_test = args.multi_test if args.multi_test is not None else (
+        cfg.test_dataloader_args.get("multi_test", 1)
+        if kind == "sgn" else 1)
     rec = ActionRecognition(
         model, variables, kind=kind, num_joint=num_joint,
         max_seq_length=args.max_frame, moving_avg=args.moving_avg,
+        max_person=args.max_num_skeleton,
+        num_skels=args.max_num_skeleton_true,
+        normalize=args.aagcn_normalize,
         allowed_classes=args.allowed_classes,
-        multi_test=cfg.test_dataloader_args.get("multi_test", 1)
-        if kind == "sgn" else 1,
+        multi_test=multi_test,
         sgn_dataloader_args=cfg.test_dataloader_args
         if kind == "sgn" else None)
 
-    for i, frame in enumerate(load_frames(args.input, num_joint)):
-        rec.append_frame(frame.astype(np.float32))
-        if (i + 1) % args.interval == 0:
-            label, probs = rec.predict()
-            line = f"frame {i + 1}: class {label} p={probs[label]:.3f}"
-            if args.timing:
-                line += f" ({rec.last_latency_ms:.1f} ms)"
-            print(line, flush=True)
+    labels = None
+    if args.label_mapping_file:
+        with open(args.label_mapping_file) as f:
+            labels = [ln.strip() for ln in f if ln.strip()]
+    out_f = None
+    if args.out_folder:
+        os.makedirs(args.out_folder, exist_ok=True)
+        out_f = open(os.path.join(args.out_folder, "results.txt"), "w")
+
+    try:
+        for i, frame in enumerate(load_frames(args.input, num_joint)):
+            rec.append_frame(frame.astype(np.float32))
+            if (i + 1) % args.interval == 0:
+                label, probs = rec.predict()
+                name = labels[label] if labels and label < len(labels) \
+                    else str(label)
+                line = f"frame {i + 1}: class {name} p={probs[label]:.3f}"
+                if args.timing:
+                    line += f" ({rec.last_latency_ms:.1f} ms)"
+                print(line, flush=True)
+                if out_f:
+                    out_f.write(f"{i + 1},{label},{probs[label]:.6f}\n")
+    finally:
+        if out_f:
+            out_f.close()
 
 
 if __name__ == "__main__":

@@ -44,6 +44,7 @@ class AblatableUnitGCN(nn.Module):
     dtype: object = jnp.bfloat16
     use_pallas: bool = False
     formulation: str = "agg"
+    edge_mesh: object = None
 
     @nn.compact
     def __call__(self, x, train):
@@ -125,6 +126,7 @@ class AblatableUnitTCN(nn.Module):
     stride: int = 1
     sync_axis: object = None
     dtype: object = jnp.bfloat16
+    edge_mesh: object = None
 
     @nn.compact
     def __call__(self, x, train):
