@@ -56,6 +56,11 @@ class TemporalConv(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        # NOTE: stride-1-then-subsample is 12x faster than the strided
+        # conv in ISOLATED vjp benches (43 -> 3.5 ms) but LOSES in the
+        # full train step (278.5 -> 262.7 seq/s) — XLA already fuses the
+        # in-model strided backward well; keep the native strided conv
+        # (PERF.md round 2).
         padding = ((self.kernel_size - 1) // 2,) * 2 if self.pad else (0, 0)
         return nn.Conv(
             self.features,

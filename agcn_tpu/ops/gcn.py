@@ -183,6 +183,19 @@ def adaptive_gcn_agg_packed(x, a1, w):
     return z @ w.reshape(k * c, -1)
 
 
+def adaptive_gcn_agg_packed2(x, a1, w):
+    """agg_packed with the contraction (V) axis placed second on BOTH
+    matmul operands — layout-assignment experiment."""
+    b, t, v, c = x.shape
+    k = a1.shape[1]
+    x2 = jnp.transpose(x, (0, 2, 1, 3)).reshape(b, v, t * c)
+    a2 = jnp.transpose(a1, (0, 2, 1, 3)).reshape(b, v, k * v)
+    z = jnp.einsum("bvm,bvn->bmn", x2, a2)  # (B, T*C, K*V)
+    z = z.reshape(b, t, c, k, v)
+    z = jnp.transpose(z, (0, 1, 4, 3, 2)).reshape(b, t, v, k * c)
+    return z @ w.reshape(k * c, -1)
+
+
 def apply_gcn(x: jnp.ndarray, a1: jnp.ndarray, w: jnp.ndarray,
               formulation: str = "agg") -> jnp.ndarray:
     """Dispatch between GCN formulations. Full-train-step ranking on TPU
@@ -202,6 +215,8 @@ def apply_gcn(x: jnp.ndarray, a1: jnp.ndarray, w: jnp.ndarray,
         return adaptive_gcn_pf_packed(x, a1, w)
     if formulation == "agg_packed":
         return adaptive_gcn_agg_packed(x, a1, w)
+    if formulation == "agg_packed2":
+        return adaptive_gcn_agg_packed2(x, a1, w)
     raise ValueError(f"unknown GCN formulation {formulation!r}")
 
 

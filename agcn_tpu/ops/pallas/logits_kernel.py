@@ -27,25 +27,19 @@ except Exception:  # pragma: no cover
     _VMEM = None
 
 P = 128            # packed (K*V) rows, padded
-BB = 4             # samples fused per grid step (rows merged into M)
 
 
 def _kernel(th_ref, ph_ref, out_ref):
-    # th block: (BB, P, X) -> merge (BB, P) into M (adjacent-dim merge,
-    # no transpose); ph block: (BB, X, P)
-    bb, p, x = th_ref.shape
-    th = th_ref[:].reshape(bb * p, x)
-    for i in range(bb):
-        s = jax.lax.dot_general(
-            th[i * p:(i + 1) * p], ph_ref[i],
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        out_ref[i] = s
+    out_ref[0] = jax.lax.dot_general(
+        th_ref[0], ph_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
 
 
 def packed_logits(th: jnp.ndarray, ph_t: jnp.ndarray,
                   interpret: bool = False) -> jnp.ndarray:
-    """S = th @ ph_t batched over B.
+    """S = th @ ph_t batched over B (one full-contraction block per
+    grid step: grid overhead bound the tiled v1 at 1280 steps; this
+    runs B steps with the whole X axis resident in VMEM).
 
     Args:
       th: (B, 128, X) packed theta rows (K*V padded to 128).
@@ -60,40 +54,34 @@ def packed_logits(th: jnp.ndarray, ph_t: jnp.ndarray,
         th = jnp.pad(th, ((0, 0), (0, 0), (0, x_pad)))
         ph_t = jnp.pad(ph_t, ((0, 0), (0, x_pad), (0, 0)))
     xp = x + x_pad
-    b_pad = -b % BB
-    if b_pad:
-        th = jnp.pad(th, ((0, b_pad), (0, 0), (0, 0)))
-        ph_t = jnp.pad(ph_t, ((0, b_pad), (0, 0), (0, 0)))
-    bp = b + b_pad
 
     kwargs = {}
     if _VMEM is not None and not interpret:
         kwargs = dict(
             in_specs=[
-                pl.BlockSpec((BB, P, xp), lambda i: (i, 0, 0),
+                pl.BlockSpec((1, P, xp), lambda i: (i, 0, 0),
                              memory_space=_VMEM),
-                pl.BlockSpec((BB, xp, P), lambda i: (i, 0, 0),
+                pl.BlockSpec((1, xp, P), lambda i: (i, 0, 0),
                              memory_space=_VMEM),
             ],
-            out_specs=pl.BlockSpec((BB, P, P), lambda i: (i, 0, 0),
+            out_specs=pl.BlockSpec((1, P, P), lambda i: (i, 0, 0),
                                    memory_space=_VMEM),
         )
     else:
         kwargs = dict(
             in_specs=[
-                pl.BlockSpec((BB, P, xp), lambda i: (i, 0, 0)),
-                pl.BlockSpec((BB, xp, P), lambda i: (i, 0, 0)),
+                pl.BlockSpec((1, P, xp), lambda i: (i, 0, 0)),
+                pl.BlockSpec((1, xp, P), lambda i: (i, 0, 0)),
             ],
-            out_specs=pl.BlockSpec((BB, P, P), lambda i: (i, 0, 0)),
+            out_specs=pl.BlockSpec((1, P, P), lambda i: (i, 0, 0)),
         )
-    out = pl.pallas_call(
+    return pl.pallas_call(
         _kernel,
-        out_shape=jax.ShapeDtypeStruct((bp, P, P), jnp.float32),
-        grid=(bp // BB,),
+        out_shape=jax.ShapeDtypeStruct((b, P, P), jnp.float32),
+        grid=(b,),
         interpret=interpret,
         **kwargs,
     )(th, ph_t)
-    return out[:b]
 
 
 def pack_rows(theta: jnp.ndarray, num_subset: int, stride: int = 32

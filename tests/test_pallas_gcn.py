@@ -75,3 +75,19 @@ def test_agcn_with_pallas_matches_xla_path():
         gk.fused_gcn = gk_fused
     np.testing.assert_allclose(np.asarray(out_pl), np.asarray(out_ref),
                                atol=1e-4, rtol=1e-4)
+
+
+def test_packed_logits_kernel_matches_einsum():
+    """ops/pallas/logits_kernel: packed attention-logits kernel
+    (the formulation that compiles through this environment's Mosaic
+    relay — PERF.md round 2) matches the einsum reference."""
+    from agcn_tpu.ops.pallas.logits_kernel import attention_logits_pallas
+
+    rng = np.random.default_rng(3)
+    b, t, v, k, ce = 3, 20, 25, 3, 16
+    theta = jnp.asarray(rng.standard_normal((b, t, v, k, ce)), jnp.float32)
+    phi = jnp.asarray(rng.standard_normal((b, t, v, k, ce)), jnp.float32)
+    got = attention_logits_pallas(theta, phi, ce * t, interpret=True)
+    want = jnp.einsum("btvkc,btwkc->bkvw", theta, phi) / (ce * t)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
