@@ -197,6 +197,201 @@ class AAGCNv17(nn.Module):
         return logits, attn_list
 
 
+class AAGCNv31(nn.Module):
+    """Reference aagcn_v31.py Model: interleaved spatial/temporal
+    transformer layers over patchified AAGCN features.
+
+    Spatial tokens are joints with (T*C) features; temporal tokens are
+    frames with (V*C) features and a CLS slot. trans_seq orders the two
+    per layer:
+    - 's-t' (aagcn_v31.py:339-356): one spatial encoder over
+      (N, M*V, T*C), then temporal.
+    - 'sa-t' (:365-394): per-subset spatial encoders over (NM, V, T*C)
+      with additive PA masks (PA initialized from the graph A, scaled by
+      alpha when add_Aa), outputs summed onto x, then LayerNorm.
+    - 'sa-t-res' (:396-430): as sa-t with dropout + a residual around
+      the temporal encoder and a second LayerNorm.
+    - 't-s' (:432-449): temporal first, then spatial.
+    """
+
+    num_class: int = 60
+    num_point: int = 25
+    num_person: int = 2
+    in_channels: int = 3
+    adj: Any = None
+    adaptive: bool = True
+    attention: bool = True
+    kernel_size: int = 9
+    pad: bool = True
+    backbone_dim: int = 16
+    add_A: bool = False
+    add_Aa: bool = False
+    trans_seq: str = "s-t"
+    multi_trans_dropout: float = 0.0
+    res_dropout: float = 0.2
+    t_num_heads: int = 2
+    t_model_dim: int = 16     # per-joint dim; token dim = dim * V
+    t_ffn_dim: int = 64       # per-joint ffn dim; scaled by V
+    s_num_heads: int = 2
+    s_model_dim: int = 16     # per-frame dim; token dim = dim * T'
+    s_ffn_dim: int = 64       # per-frame ffn; scaled by T' (=100 ref)
+    dropout: float = 0.0
+    activation: str = "gelu"
+    prenorm: bool = False
+    num_layers: int = 3
+    pos_enc: str = "True"
+    classifier_type: str = "CLS"
+    model_layers: int = 101
+    sync_axis: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False):
+        y, (n, c, t, v, m) = _preprocess(x, "bn", self.sync_axis, train)
+        y = _backbone(y, self.adj, self.model_layers, self.backbone_dim,
+                      self.kernel_size, self.kernel_size, self.pad,
+                      self.adaptive, self.attention, self.sync_axis, train)
+        nm, t2, v2, ch = y.shape
+        t_dim = v2 * ch
+        s_dim = t2 * ch
+        tokens = y.reshape(n, m * t2, t_dim)
+        has_cls = self.classifier_type == "CLS"
+        if has_cls:
+            cls = self.param("cls_token", nn.initializers.normal(1.0),
+                             (1, 1, t_dim))
+            tokens = jnp.concatenate(
+                [jnp.broadcast_to(cls, (n, 1, t_dim)), tokens], axis=1)
+        kind = "learned" if self.pos_enc in ("True", "original") else (
+            "cossin" if self.pos_enc == "cossin" else "none")
+        tokens = PosEncoding(kind, t_dim, name="t_pos_encoder")(tokens)
+
+        num_subset = self.adj.shape[0]
+        alpha = self.param("sa_alpha", nn.initializers.zeros, (1,)) \
+            if (self.add_A and self.add_Aa) else None
+
+        def drop(z, rate, name):
+            if rate > 0.0:
+                return nn.Dropout(rate, deterministic=not train,
+                                  name=name)(z)
+            return z
+
+        def t_layer(z, i):
+            out, _ = TransformerEncoderLayer(
+                num_heads=self.t_num_heads,
+                dim_feedforward=self.t_ffn_dim * self.num_point,
+                dropout=self.dropout, activation=self.activation,
+                pre_norm=self.prenorm, name=f"t_layer{i}")(z, train)
+            return out
+
+        def body_to_joints(body):
+            z = body.reshape(n, m, t2, v2, ch)
+            z = jnp.transpose(z, (0, 1, 3, 2, 4))
+            return z
+
+        def joints_to_body(z):
+            z = jnp.transpose(z, (0, 1, 3, 2, 4))
+            return z.reshape(n, m * t2, t_dim)
+
+        def spatial_plain(body, i):
+            z = body_to_joints(body).reshape(n, m * v2, s_dim)
+            z, _ = TransformerEncoderLayer(
+                num_heads=self.s_num_heads,
+                dim_feedforward=self.s_ffn_dim * t2,
+                dropout=self.dropout, activation=self.activation,
+                pre_norm=self.prenorm, name=f"s_layer{i}")(z, train)
+            return joints_to_body(z.reshape(n, m, v2, t2, ch))
+
+        # sa_norm is ONE shared LayerNorm when add_A, identity otherwise
+        # (aagcn_v31.py:119-122 constructor); res_norm likewise for the
+        # '-res' sequences
+        sa_norm = nn.LayerNorm(name="sa_norm") if self.add_A else None
+        res_norm = nn.LayerNorm(name="res_norm") \
+            if "res" in self.trans_seq else None
+
+        def spatial_attn(body, i):
+            """'sa' step: per-subset encoders with additive PA masks when
+            add_A, else a single unmasked encoder; returns the (NM, V, S)
+            tokens and the summed outputs."""
+            z = body_to_joints(body).reshape(n * m, v2, s_dim)
+            outs = []
+            if self.add_A:
+                for a_i in range(num_subset):
+                    pa = self.param(f"s_layer{i}_PA{a_i}",
+                                    lambda k, s, a_i=a_i: jnp.asarray(
+                                        self.adj[a_i], jnp.float32),
+                                    (v2, v2))
+                    mask = pa * (alpha if alpha is not None else 1.0)
+                    out, _ = TransformerEncoderLayer(
+                        num_heads=self.s_num_heads,
+                        dim_feedforward=self.s_ffn_dim * t2,
+                        dropout=self.dropout, activation=self.activation,
+                        pre_norm=self.prenorm,
+                        name=f"s_layer{i}_subset{a_i}")(
+                        z, train, additive_mask=mask)
+                    outs.append(out)
+            else:
+                out, _ = TransformerEncoderLayer(
+                    num_heads=self.s_num_heads,
+                    dim_feedforward=self.s_ffn_dim * t2,
+                    dropout=self.dropout, activation=self.activation,
+                    pre_norm=self.prenorm,
+                    name=f"s_layer{i}")(z, train)
+                outs.append(out)
+            return z, sum(outs)
+
+        def reattach(z):
+            body = joints_to_body(z.reshape(n, m, v2, t2, ch))
+            return jnp.concatenate([tokens[:, :1], body], axis=1) \
+                if has_cls else body
+
+        attn: list = []
+        for i in range(self.num_layers):
+            if self.trans_seq == "s-t":
+                body = tokens[:, 1:] if has_cls else tokens
+                body = spatial_plain(body, i)
+                tokens = jnp.concatenate([tokens[:, :1], body], axis=1) \
+                    if has_cls else body
+                tokens = t_layer(tokens, i)
+            elif self.trans_seq == "sa-t":
+                body = tokens[:, 1:] if has_cls else tokens
+                z, s_sum = spatial_attn(body, i)
+                z = z + s_sum  # aagcn_v31.py:383
+                if sa_norm is not None:
+                    z = sa_norm(z)
+                tokens = reattach(z)
+                tokens = t_layer(tokens, i)
+            elif self.trans_seq == "sa-t-res":
+                body = tokens[:, 1:] if has_cls else tokens
+                z, s_sum = spatial_attn(body, i)
+                z = z + drop(s_sum, self.multi_trans_dropout,
+                             f"mt_drop{i}")
+                if sa_norm is not None:
+                    z = sa_norm(z)
+                x2 = reattach(z)
+                x2 = t_layer(x2, i)
+                tokens = tokens + drop(x2, self.res_dropout,
+                                       f"res_drop{i}")
+                tokens = res_norm(tokens)
+            elif self.trans_seq == "t-s":
+                tokens = t_layer(tokens, i)
+                body = tokens[:, 1:] if has_cls else tokens
+                body = spatial_plain(body, i)
+                tokens = jnp.concatenate([tokens[:, :1], body], axis=1) \
+                    if has_cls else body
+            else:
+                raise ValueError(f"unknown trans_seq {self.trans_seq!r}")
+
+        if self.classifier_type == "CLS":
+            feat = tokens[:, 0]
+        elif self.classifier_type == "GAP":
+            feat = tokens.mean(axis=1)
+        else:
+            raise ValueError("Unknown classifier_type")
+        logits = nn.Dense(self.num_class,
+                          kernel_init=init.fc_init(self.num_class),
+                          name="fc")(feat)
+        return logits, attn
+
+
 class AdaptiveGCNv3(nn.Module):
     """Per-frame adaptive attention GCN (reference aagcn_v30.py:61-99).
 

@@ -37,6 +37,8 @@ _ALIASES = {
     "model.architecture.aagcn.aagcn_v17.Model": "aagcn_v17",
     "model.aagcn_v30.Model": "aagcn_v30",
     "model.architecture.aagcn.aagcn_v30.Model": "aagcn_v30",
+    "model.aagcn_v31.Model": "aagcn_v31",
+    "model.architecture.aagcn.aagcn_v31.Model": "aagcn_v31",
 }
 
 
@@ -69,10 +71,12 @@ def build_model(name: str, model_args: Dict[str, Any]):
         return _build_agcn(model_args, AAGCN)
     if key == "aagcn_transformer":
         return _build_agcn(model_args, AAGCNTransformer)
-    if key in ("aagcn_v17", "aagcn_v30"):
-        from agcn_tpu.models.aagcn_versions import AAGCNv17, AAGCNv30
+    if key in ("aagcn_v17", "aagcn_v30", "aagcn_v31"):
+        from agcn_tpu.models.aagcn_versions import (AAGCNv17, AAGCNv30,
+                                                    AAGCNv31)
 
-        cls = AAGCNv17 if key == "aagcn_v17" else AAGCNv30
+        cls = {"aagcn_v17": AAGCNv17, "aagcn_v30": AAGCNv30,
+               "aagcn_v31": AAGCNv31}[key]
         return _build_agcn(model_args, cls)
     if key == "sgn_transformer":
         args = dict(model_args)

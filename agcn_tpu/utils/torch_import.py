@@ -399,6 +399,49 @@ def aagcn_v30_variables_from_torch(sd: Mapping[str, Any]
     return tree
 
 
+def aagcn_v31_variables_from_torch(sd: Mapping[str, Any]
+                                   ) -> Dict[str, Dict]:
+    """Map reference aagcn_v31.py Model -> models/aagcn_versions.AAGCNv31."""
+    tree = aagcn_variables_from_torch(sd)
+    sdn = state_dict_to_numpy(sd)
+    if "cls_token" in sdn:
+        _set(tree["params"], ("cls_token",), sdn["cls_token"])
+    if "t_pos_encoder.pe" in sdn:
+        _set(tree["params"], ("t_pos_encoder", "pe"),
+             sdn["t_pos_encoder.pe"])
+    if "alpha" in sdn:
+        _set(tree["params"], ("sa_alpha",), sdn["alpha"])
+    for norm in ("sa_norm", "res_norm"):
+        if f"{norm}.weight" in sdn:
+            _set(tree["params"], (norm, "scale"), sdn[f"{norm}.weight"])
+            _set(tree["params"], (norm, "bias"), sdn[f"{norm}.bias"])
+    i = 0
+    while f"t_trans_enc_layers.{i}.self_attn.in_proj_weight" in sdn:
+        _transformer_layer(tree, sdn, f"t_trans_enc_layers.{i}",
+                           (f"t_layer{i}",))
+        i += 1
+    i = 0
+    while (f"s_trans_enc_layers.{i}.self_attn.in_proj_weight" in sdn
+           or f"s_trans_enc_layers.{i}.subset0.self_attn."
+              f"in_proj_weight" in sdn):
+        if f"s_trans_enc_layers.{i}.self_attn.in_proj_weight" in sdn:
+            _transformer_layer(tree, sdn, f"s_trans_enc_layers.{i}",
+                               (f"s_layer{i}",))
+        else:
+            a = 0
+            while f"s_trans_enc_layers.{i}.subset{a}.self_attn." \
+                  f"in_proj_weight" in sdn:
+                p = f"s_trans_enc_layers.{i}.subset{a}"
+                _transformer_layer(tree, sdn, p,
+                                   (f"s_layer{i}_subset{a}",))
+                if f"{p}.PA" in sdn:
+                    _set(tree["params"], (f"s_layer{i}_PA{a}",),
+                         sdn[f"{p}.PA"])
+                a += 1
+        i += 1
+    return tree
+
+
 def agcn_variables_from_torch(sd: Mapping[str, Any],
                               num_subset: int = 3) -> Dict[str, Dict]:
     """Map the reference AGCN state_dict (agcn.py Model) onto our AGCN."""

@@ -1,11 +1,10 @@
 #!/usr/bin/env python
-"""Single-chip edges/s for BASELINE: batched edge-message throughput of
-the adaptive K-subset aggregation at the production shape, real TPU.
+"""Single-chip edges/s for BASELINE, derived from the full AGCN train
+step: semantic edge-messages (directed graph edges incl. self loops
+applied per frame, per person, per block) divided by measured step time.
 
-edges/s = (directed edges incl. self loops across the K subsets)
-          x batch x frames x steps/sec, measured on the aggregation+
-          projection op itself and on the full AGCN train step
-          (edge-messages summed over the 10 blocks' shapes).
+Standalone-op timings on this backend are lowering-artifact-prone
+(PERF.md), so the figure comes from the production train step itself.
 """
 
 import json
@@ -24,36 +23,47 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp
 import numpy as np
 
-from agcn_tpu.graph import spatial_edge_sets
-from agcn_tpu.ops import gcn as gcn_ops
+from agcn_tpu.graph import build_adjacency, spatial_edge_sets
+from agcn_tpu.models import AGCN
+from agcn_tpu.train import TrainState, losses, make_train_step, optim
+
+BATCH, C, T, V, M, NUM_CLASS = 64, 3, 300, 25, 2, 60
+# frames seen by each block's aggregation (strides at l5/l8)
+BLOCK_FRAMES = [300] * 5 + [150] * 3 + [75] * 2
 
 
 def main():
     edges = sum(es.num_edges for es in spatial_edge_sets("ntu_rgb_d"))
-    b, t, v, c, co = 128, 300, 25, 64, 64
+    adj = build_adjacency("ntu_rgb_d")
+    model = AGCN(num_class=NUM_CLASS, adj=adj, dtype=jnp.bfloat16)
     rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.standard_normal((b, t, v, c)), jnp.bfloat16)
-    a1 = jnp.asarray(rng.standard_normal((b, 3, v, v)), jnp.bfloat16)
-    w = jnp.asarray(rng.standard_normal((3, c, co)) * 0.05, jnp.bfloat16)
-
-    fn = jax.jit(lambda *a: gcn_ops.apply_gcn(*a, formulation="agg"))
-    out = fn(x, a1, w)
-    _ = np.asarray(jnp.sum(out.astype(jnp.float32)))
-    steps = 30
+    x = jnp.asarray(rng.standard_normal((BATCH, C, T, V, M)), jnp.float32)
+    y = jnp.asarray(rng.integers(0, NUM_CLASS, (BATCH,)))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    tx = optim.sgd_nesterov(optim.warmup_step_schedule(0.1, 1, [30]))
+    state = TrainState.create(model.apply, variables["params"],
+                              variables["batch_stats"], tx)
+    step = jax.jit(make_train_step(losses.cross_entropy), donate_argnums=0)
+    key = jax.random.PRNGKey(0)
+    state, m = step(state, x, y, key)
+    _ = float(m["loss"])
+    steps = 20
     t0 = time.perf_counter()
     for _ in range(steps):
-        out = fn(x, a1, w)
-        chain = jnp.sum(out).astype(x.dtype) * 0.0
-        x = x + chain
-    _ = np.asarray(jnp.sum(x.astype(jnp.float32)))
-    dt = time.perf_counter() - t0
-    # dense (B,K,V,V) aggregation applies every potential edge; report
-    # graph-edge messages (the work the reference's semantics imply)
-    eps = edges * b * t * steps / dt
+        state, m = step(state, x, y, key)
+    _ = float(m["loss"])
+    dt = (time.perf_counter() - t0) / steps
+
+    frames_per_seq = sum(BLOCK_FRAMES) * M
+    edges_per_seq = edges * frames_per_seq
+    eps = edges_per_seq * BATCH / dt
     print(json.dumps({
-        "metric": "aggregation_edges_per_sec_single_chip",
-        "value": round(eps / 1e9, 3), "unit": "Gedges/s",
-        "shape": f"B{b} T{t} V{v} C{c}", "edges_per_frame": edges}))
+        "metric": "train_edges_per_sec_single_chip",
+        "value": round(eps / 1e6, 1), "unit": "Medges/s",
+        "seq_per_sec": round(BATCH / dt, 1),
+        "edges_per_seq": edges_per_seq,
+        "note": "semantic forward edge-messages through the 10-block "
+                "AGCN train step (fwd+bwd+update included in time)"}))
 
 
 if __name__ == "__main__":
