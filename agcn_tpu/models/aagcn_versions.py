@@ -12,6 +12,11 @@ Implemented (runnable in the mounted reference):
   (v17's cos-sin uses log(100), aagcn_v17.py:116-122), optional
   forward/backward additive masks applied to the LAST layer only
   (:274-309), CLS/GAP readout.
+- AAGCNv31 (also covering v32 via version='v32') — interleaved
+  spatial/temporal transformer layers with s-t / sa-t / sa-t-res / t-s
+  orderings, per-subset PA attention masks, and v32's per-layer alphas,
+  post-softmax attention injection ('attn-a' modes) and its accidental
+  bias-less encoder layers (aagcn_v31.py / aagcn_v32.py).
 - AAGCNv30 — interleaved GCN-spatial / transformer-temporal stack
   (aagcn_v30.py:389-516): per-layer GCNUnitLocal with AdaptiveGCNV2
   (per-sample attention, :22-58) or AdaptiveGCNV3 (per-FRAME attention,
@@ -198,8 +203,8 @@ class AAGCNv17(nn.Module):
 
 
 class AAGCNv31(nn.Module):
-    """Reference aagcn_v31.py Model: interleaved spatial/temporal
-    transformer layers over patchified AAGCN features.
+    """Reference aagcn_v31.py / aagcn_v32.py Models: interleaved
+    spatial/temporal transformer layers over patchified AAGCN features.
 
     Spatial tokens are joints with (T*C) features; temporal tokens are
     frames with (V*C) features and a CLS slot. trans_seq orders the two
@@ -208,10 +213,17 @@ class AAGCNv31(nn.Module):
       (N, M*V, T*C), then temporal.
     - 'sa-t' (:365-394): per-subset spatial encoders over (NM, V, T*C)
       with additive PA masks (PA initialized from the graph A, scaled by
-      alpha when add_Aa), outputs summed onto x, then LayerNorm.
+      the shared alpha when add_Aa for v31, or each layer's OWN alpha
+      for v32 — aagcn_v32.py:373-377), outputs summed onto x, LayerNorm.
     - 'sa-t-res' (:396-430): as sa-t with dropout + a residual around
-      the temporal encoder and a second LayerNorm.
+      the temporal encoder and a second LayerNorm (v32 passes PA*alpha
+      as post-softmax global_attn instead, aagcn_v32.py:436).
     - 't-s' (:432-449): temporal first, then spatial.
+    - v32-only 'sa-t-attn-a' / 'sa-t-res-attn-a' (aagcn_v32.py:396-425,
+      461-490): the spatial layers INJECT attention post-softmax —
+      applied weights = softmax(..)*alpha + PA (the forked MHA's
+      global_attn/alpha path, multiheadattention.py:49-54).
+    Set version='v32' for per-layer alphas + the attn-a modes.
     """
 
     num_class: int = 60
@@ -226,6 +238,7 @@ class AAGCNv31(nn.Module):
     backbone_dim: int = 16
     add_A: bool = False
     add_Aa: bool = False
+    version: str = "v31"          # 'v31' | 'v32'
     trans_seq: str = "s-t"
     multi_trans_dropout: float = 0.0
     res_dropout: float = 0.2
@@ -274,12 +287,16 @@ class AAGCNv31(nn.Module):
                                   name=name)(z)
             return z
 
+        enc_bias = self.version != "v32"  # v32 layers lost their
+        # linear/norm biases to a positional-arg slip (aagcn_v32.py:77-78)
+
         def t_layer(z, i):
             out, _ = TransformerEncoderLayer(
                 num_heads=self.t_num_heads,
                 dim_feedforward=self.t_ffn_dim * self.num_point,
                 dropout=self.dropout, activation=self.activation,
-                pre_norm=self.prenorm, name=f"t_layer{i}")(z, train)
+                pre_norm=self.prenorm, bias=enc_bias,
+                name=f"t_layer{i}")(z, train)
             return out
 
         def body_to_joints(body):
@@ -297,7 +314,8 @@ class AAGCNv31(nn.Module):
                 num_heads=self.s_num_heads,
                 dim_feedforward=self.s_ffn_dim * t2,
                 dropout=self.dropout, activation=self.activation,
-                pre_norm=self.prenorm, name=f"s_layer{i}")(z, train)
+                pre_norm=self.prenorm, bias=enc_bias,
+                name=f"s_layer{i}")(z, train)
             return joints_to_body(z.reshape(n, m, v2, t2, ch))
 
         # sa_norm is ONE shared LayerNorm when add_A, identity otherwise
@@ -308,9 +326,10 @@ class AAGCNv31(nn.Module):
             if "res" in self.trans_seq else None
 
         def spatial_attn(body, i):
-            """'sa' step: per-subset encoders with additive PA masks when
-            add_A, else a single unmasked encoder; returns the (NM, V, S)
-            tokens and the summed outputs."""
+            """'sa' step: per-subset encoders with PA-derived attention
+            when add_A, else a single unmasked encoder; returns the
+            (NM, V, S) tokens and the summed outputs. The PA application
+            depends on version/mode (see class docstring)."""
             z = body_to_joints(body).reshape(n * m, v2, s_dim)
             outs = []
             if self.add_A:
@@ -319,21 +338,34 @@ class AAGCNv31(nn.Module):
                                     lambda k, s, a_i=a_i: jnp.asarray(
                                         self.adj[a_i], jnp.float32),
                                     (v2, v2))
-                    mask = pa * (alpha if alpha is not None else 1.0)
+                    add_mask = g_attn = a_scale = None
+                    if self.version == "v32":
+                        la = self.param(f"s_layer{i}_alpha{a_i}",
+                                        nn.initializers.zeros, (1,))
+                        if self.trans_seq == "sa-t":
+                            add_mask = pa * la
+                        elif self.trans_seq == "sa-t-res":
+                            g_attn = pa * la
+                        else:  # 'sa-t-attn-a' / 'sa-t-res-attn-a'
+                            g_attn, a_scale = pa, la
+                    else:
+                        add_mask = pa * (alpha if alpha is not None
+                                         else 1.0)
                     out, _ = TransformerEncoderLayer(
                         num_heads=self.s_num_heads,
                         dim_feedforward=self.s_ffn_dim * t2,
                         dropout=self.dropout, activation=self.activation,
-                        pre_norm=self.prenorm,
+                        pre_norm=self.prenorm, bias=enc_bias,
                         name=f"s_layer{i}_subset{a_i}")(
-                        z, train, additive_mask=mask)
+                        z, train, additive_mask=add_mask,
+                        alpha=a_scale, global_attn=g_attn)
                     outs.append(out)
             else:
                 out, _ = TransformerEncoderLayer(
                     num_heads=self.s_num_heads,
                     dim_feedforward=self.s_ffn_dim * t2,
                     dropout=self.dropout, activation=self.activation,
-                    pre_norm=self.prenorm,
+                    pre_norm=self.prenorm, bias=enc_bias,
                     name=f"s_layer{i}")(z, train)
                 outs.append(out)
             return z, sum(outs)
@@ -351,7 +383,7 @@ class AAGCNv31(nn.Module):
                 tokens = jnp.concatenate([tokens[:, :1], body], axis=1) \
                     if has_cls else body
                 tokens = t_layer(tokens, i)
-            elif self.trans_seq == "sa-t":
+            elif self.trans_seq in ("sa-t", "sa-t-attn-a"):
                 body = tokens[:, 1:] if has_cls else tokens
                 z, s_sum = spatial_attn(body, i)
                 z = z + s_sum  # aagcn_v31.py:383
@@ -359,7 +391,8 @@ class AAGCNv31(nn.Module):
                     z = sa_norm(z)
                 tokens = reattach(z)
                 tokens = t_layer(tokens, i)
-            elif self.trans_seq == "sa-t-res":
+            elif self.trans_seq in ("sa-t-res",
+                                    "sa-t-res-attn-a"):
                 body = tokens[:, 1:] if has_cls else tokens
                 z, s_sum = spatial_attn(body, i)
                 z = z + drop(s_sum, self.multi_trans_dropout,

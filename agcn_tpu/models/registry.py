@@ -39,6 +39,8 @@ _ALIASES = {
     "model.architecture.aagcn.aagcn_v30.Model": "aagcn_v30",
     "model.aagcn_v31.Model": "aagcn_v31",
     "model.architecture.aagcn.aagcn_v31.Model": "aagcn_v31",
+    "model.aagcn_v32.Model": "aagcn_v32",
+    "model.architecture.aagcn.aagcn_v32.Model": "aagcn_v32",
 }
 
 
@@ -71,10 +73,13 @@ def build_model(name: str, model_args: Dict[str, Any]):
         return _build_agcn(model_args, AAGCN)
     if key == "aagcn_transformer":
         return _build_agcn(model_args, AAGCNTransformer)
-    if key in ("aagcn_v17", "aagcn_v30", "aagcn_v31"):
+    if key in ("aagcn_v17", "aagcn_v30", "aagcn_v31", "aagcn_v32"):
         from agcn_tpu.models.aagcn_versions import (AAGCNv17, AAGCNv30,
                                                     AAGCNv31)
 
+        if key == "aagcn_v32":  # v32 = v31 + per-layer alphas/attn-a
+            model_args = dict(model_args, version="v32")
+            key = "aagcn_v31"
         cls = {"aagcn_v17": AAGCNv17, "aagcn_v30": AAGCNv30,
                "aagcn_v31": AAGCNv31}[key]
         return _build_agcn(model_args, cls)

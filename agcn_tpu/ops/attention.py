@@ -98,7 +98,9 @@ class MultiheadAttention(nn.Module):
     @nn.compact
     def __call__(self, query, key=None, value=None,
                  mask: Optional[jnp.ndarray] = None,
-                 additive_mask: Optional[jnp.ndarray] = None
+                 additive_mask: Optional[jnp.ndarray] = None,
+                 alpha: Optional[jnp.ndarray] = None,
+                 global_attn: Optional[jnp.ndarray] = None
                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         key = query if key is None else key
         value = key if value is None else value
@@ -133,7 +135,16 @@ class MultiheadAttention(nn.Module):
             # ((L, L) or (B, H, L, L)); -inf is clamped for softmax safety
             logits = logits + jnp.maximum(additive_mask, -1e9)
         attn = jax.nn.softmax(logits, axis=-1)
-        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+        # post-softmax attention injection (reference forked MHA,
+        # multiheadattention.py:49-54): the APPLIED weights are
+        # softmax(..)*alpha + global_attn; the RETURNED weights stay the
+        # plain softmax (attn_i in the reference)
+        applied = attn
+        if alpha is not None:
+            applied = applied * alpha
+        if global_attn is not None:
+            applied = applied + global_attn
+        out = jnp.einsum("bhqk,bhkd->bhqd", applied, v)
         bsz, _, t, _ = out.shape
         out = out.transpose(0, 2, 1, 3).reshape(bsz, t, d)
         out = nn.Dense(d, use_bias=self.use_bias,
@@ -151,10 +162,16 @@ class TransformerEncoderLayer(nn.Module):
     dropout: float = 0.1
     activation: str = "relu"
     pre_norm: bool = False
+    # v32's layers accidentally construct torch's TransformerEncoderLayer
+    # with bias=False for the linears AND LayerNorms (positional-arg slip,
+    # aagcn_v32.py:77-78); bias=False reproduces that
+    bias: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False,
-                 additive_mask: Optional[jnp.ndarray] = None
+                 additive_mask: Optional[jnp.ndarray] = None,
+                 alpha: Optional[jnp.ndarray] = None,
+                 global_attn: Optional[jnp.ndarray] = None
                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         act = nn.relu if self.activation == "relu" else nn.gelu
 
@@ -168,23 +185,26 @@ class TransformerEncoderLayer(nn.Module):
         # so the residual adds onto the normed tensor, not the raw input
         # (aagcn_v29.py:86-97 / v17's TransformerEncoderLayerExt) — kept
         # for checkpoint parity.
+        LN = lambda name: nn.LayerNorm(use_bias=self.bias, name=name)
         if self.pre_norm:
-            x = nn.LayerNorm(name="norm1")(x)
+            x = LN("norm1")(x)
         attn_out, attn = MultiheadAttention(
             self.num_heads, name="self_attn")(
-            x, additive_mask=additive_mask)
+            x, additive_mask=additive_mask, alpha=alpha,
+            global_attn=global_attn)
         x = x + drop(attn_out)
         if not self.pre_norm:
-            x = nn.LayerNorm(name="norm1")(x)
+            x = LN("norm1")(x)
 
         if self.pre_norm:
-            x = nn.LayerNorm(name="norm2")(x)
-        y = nn.Dense(self.dim_feedforward, name="linear1")(x)
+            x = LN("norm2")(x)
+        y = nn.Dense(self.dim_feedforward, use_bias=self.bias,
+                     name="linear1")(x)
         y = drop(act(y))
-        y = nn.Dense(x.shape[-1], name="linear2")(y)
+        y = nn.Dense(x.shape[-1], use_bias=self.bias, name="linear2")(y)
         x = x + drop(y)
         if not self.pre_norm:
-            x = nn.LayerNorm(name="norm2")(x)
+            x = LN("norm2")(x)
         return x, attn
 
 
@@ -257,6 +277,10 @@ class TransformerEncoder(nn.Module):
     dropout: float = 0.1
     activation: str = "relu"
     pre_norm: bool = False
+    # v32's layers accidentally construct torch's TransformerEncoderLayer
+    # with bias=False for the linears AND LayerNorms (positional-arg slip,
+    # aagcn_v32.py:77-78); bias=False reproduces that
+    bias: bool = True
     pos_enc: Optional[str] = None  # None | 'abs' | 'cos'
     max_len: int = 600
 

@@ -328,16 +328,19 @@ def _transformer_layer(tree: Dict, sd: Mapping[str, np.ndarray],
          linear_kernel(sd[f"{torch_prefix}.self_attn.out_proj.weight"]))
     _set(tree["params"], flax_path + ("self_attn", "out_proj", "bias"),
          sd[f"{torch_prefix}.self_attn.out_proj.bias"])
+    # bias keys may be absent (v32's accidental bias=False layers)
     for lin in ("linear1", "linear2"):
         _set(tree["params"], flax_path + (lin, "kernel"),
              linear_kernel(sd[f"{torch_prefix}.{lin}.weight"]))
-        _set(tree["params"], flax_path + (lin, "bias"),
-             sd[f"{torch_prefix}.{lin}.bias"])
+        if f"{torch_prefix}.{lin}.bias" in sd:
+            _set(tree["params"], flax_path + (lin, "bias"),
+                 sd[f"{torch_prefix}.{lin}.bias"])
     for norm in ("norm1", "norm2"):
         _set(tree["params"], flax_path + (norm, "scale"),
              sd[f"{torch_prefix}.{norm}.weight"])
-        _set(tree["params"], flax_path + (norm, "bias"),
-             sd[f"{torch_prefix}.{norm}.bias"])
+        if f"{torch_prefix}.{norm}.bias" in sd:
+            _set(tree["params"], flax_path + (norm, "bias"),
+                 sd[f"{torch_prefix}.{norm}.bias"])
 
 
 def aagcn_v17_variables_from_torch(sd: Mapping[str, Any],
@@ -437,6 +440,9 @@ def aagcn_v31_variables_from_torch(sd: Mapping[str, Any]
                 if f"{p}.PA" in sdn:
                     _set(tree["params"], (f"s_layer{i}_PA{a}",),
                          sdn[f"{p}.PA"])
+                if f"{p}.alpha" in sdn:  # v32: per-layer alphas
+                    _set(tree["params"], (f"s_layer{i}_alpha{a}",),
+                         sdn[f"{p}.alpha"])
                 a += 1
         i += 1
     return tree

@@ -133,6 +133,54 @@ def test_v31_parity(kwargs):
                                rtol=1e-3)
 
 
+@pytest.mark.parametrize("kwargs", [
+    dict(trans_seq="sa-t", add_A=True),
+    dict(trans_seq="sa-t-attn-a", add_A=True),
+    dict(trans_seq="sa-t-res", add_A=True,
+         res_dropout=0.0, multi_trans_dropout=0.0),
+    dict(trans_seq="sa-t-res-attn-a", add_A=True,
+         res_dropout=0.0, multi_trans_dropout=0.0),
+])
+def test_v32_parity(kwargs):
+    """v32 = v31 with per-layer alphas and the post-softmax attention
+    injection ('attn-a') modes (aagcn_v32.py:362-490)."""
+    add_reference_to_path()
+    import torch
+    from model.architecture.aagcn.aagcn_v32 import Model as TorchV32
+    from agcn_tpu.models.aagcn_versions import AAGCNv31
+    from agcn_tpu.utils.torch_import import aagcn_v31_variables_from_torch
+
+    cfg = {"num_heads": 2, "model_dim": 16, "ffn_dim": 64, "dropout": 0.0,
+           "activation": "gelu", "prenorm": False, "num_layers": 2}
+    torch.manual_seed(0)
+    ref = TorchV32(graph=GRAPH, model_layers=101,
+                   t_trans_cfg=dict(cfg), s_trans_cfg=dict(cfg),
+                   kernel_size=3, pad=False, pos_enc="cossin",
+                   **kwargs).eval()
+    # make the zero-init alphas non-trivial so the masked paths are
+    # actually exercised
+    with torch.no_grad():
+        for layers in ref.s_trans_enc_layers:
+            for _, sl in layers.items():
+                sl.alpha.fill_(0.3)
+    x = _input(t=300)
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(x))
+    ref_logits = (ref_out[0] if isinstance(ref_out, tuple)
+                  else ref_out).numpy()
+
+    adj = build_adjacency("ntu_rgb_d")
+    model = AAGCNv31(adj=adj, model_layers=101, kernel_size=3, pad=False,
+                     backbone_dim=16, t_model_dim=16, t_ffn_dim=64,
+                     s_model_dim=16, s_ffn_dim=64, dropout=0.0,
+                     num_layers=2, pos_enc="cossin", version="v32",
+                     **kwargs)
+    variables = aagcn_v31_variables_from_torch(ref.state_dict())
+    ours, _ = model.apply(variables, jnp.asarray(x), train=False)
+    np.testing.assert_allclose(np.asarray(ours), ref_logits, atol=1e-3,
+                               rtol=1e-3)
+
+
 def test_v17_train_mode_runs():
     adj = build_adjacency("ntu_rgb_d")
     model = AAGCNv17(adj=adj, model_layers=101, kernel_size=3, pad=False,
