@@ -202,6 +202,119 @@ class AAGCNv17(nn.Module):
         return logits, attn_list
 
 
+class AAGCNv24(nn.Module):
+    """Reference aagcn_v24.py Model: a per-FRAME spatial transformer over
+    (N*T', M*V+CLS, C) tokens after the patchify backbone.
+
+    add_A builds a block-diagonal two-person mask over the 51 token slots
+    (ones elsewhere): 'single' = (51, 51) from A[0], 'triple' =
+    (3, 51, 51) applied per head (requires num_heads == 3), scaled by a
+    shared learned alpha and ADDED to the attention logits
+    (aagcn_v24.py:233-247, 295-303). classifier 'CLS' mean-pools the
+    per-frame CLS tokens; 'CLS_MASK' reproduces the reference's masked
+    mean VERBATIM — including its inverted mask (aagcn_v24.py:311-320
+    multiplies by the empty-frame indicator, so only CLS tokens of
+    all-zero frames survive).
+    """
+
+    num_class: int = 60
+    num_point: int = 25
+    num_person: int = 2
+    in_channels: int = 3
+    adj: Any = None
+    adaptive: bool = True
+    attention: bool = True
+    kernel_size: int = 9
+    pad: bool = True
+    add_A: str = "False"          # 'False' | 'single' | 'triple'
+    s_num_heads: int = 3
+    s_model_dim: int = 24
+    s_ffn_dim: int = 96
+    dropout: float = 0.0
+    activation: str = "gelu"
+    prenorm: bool = False
+    num_layers: int = 3
+    pos_enc: str = "True"
+    classifier_type: str = "CLS"  # 'CLS' | 'CLS_MASK'
+    model_layers: int = 101
+    sync_axis: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False):
+        n, c, t, v, m = x.shape
+        if self.classifier_type == "CLS_MASK":
+            # empty-frame indicator, windowed by the patchify stride
+            # (aagcn_v24.py:276-281)
+            empty = (jnp.sum(x, axis=(1, 3, 4)) == 0.0).astype(jnp.float32)
+            empty = empty[:, ::self.kernel_size]  # (N, T')
+        y, _ = _preprocess(x, "bn", self.sync_axis, train)
+        y = _backbone(y, self.adj, self.model_layers, self.s_model_dim,
+                      self.kernel_size, self.kernel_size, self.pad,
+                      self.adaptive, self.attention, self.sync_axis, train)
+        nm, t2, v2, ch = y.shape
+        # (NM, T', V, C) -> (N, T', M, V, C) -> (N*T', M*V, C)
+        z = y.reshape(n, m, t2, v2, ch)
+        z = jnp.transpose(z, (0, 2, 1, 3, 4)).reshape(n * t2, m * v2, ch)
+        cls = self.param("s_cls_token", nn.initializers.normal(1.0),
+                         (1, 1, ch))
+        tokens = jnp.concatenate(
+            [jnp.broadcast_to(cls, (n * t2, 1, ch)), z], axis=1)
+        kind = "learned" if self.pos_enc in ("True", "original") else (
+            "cossin" if self.pos_enc == "cossin" else "none")
+        tokens = PosEncoding(kind, ch, max_len=100,
+                             name="s_pos_encoder")(tokens)
+
+        mask = None
+        alpha = self.param("alpha", nn.initializers.zeros, (1,))
+        num_subset = self.adj.shape[0]
+        tok = m * v2 + 1
+        if self.add_A in ("single", "triple"):
+            base = np.ones((num_subset, tok, tok), np.float32) \
+                if self.add_A == "triple" else np.ones((tok, tok),
+                                                       np.float32)
+            if self.add_A == "triple":
+                base[:, 1:v2 + 1, 1:v2 + 1] = self.adj
+                base[:, v2 + 1:, v2 + 1:] = self.adj
+            else:
+                base[1:v2 + 1, 1:v2 + 1] = self.adj[0]
+                base[v2 + 1:, v2 + 1:] = self.adj[0]
+
+        attn = []
+        for i in range(self.num_layers):
+            layer_mask = None
+            if self.add_A in ("single", "triple"):
+                pa = self.param(f"s_layer{i}_PA",
+                                lambda k, s: jnp.asarray(base, jnp.float32),
+                                base.shape)
+                layer_mask = pa * alpha
+                if self.add_A == "triple":
+                    # (K, L, L) applied per head (requires heads == K,
+                    # aagcn_v24.py:302-303)
+                    layer_mask = layer_mask[None]  # (1, H, L, L)
+            tokens, a = TransformerEncoderLayer(
+                num_heads=self.s_num_heads,
+                dim_feedforward=self.s_ffn_dim,
+                dropout=self.dropout, activation=self.activation,
+                pre_norm=self.prenorm,
+                name=f"s_layer{i}")(tokens, train,
+                                    additive_mask=layer_mask)
+            attn.append(a)
+
+        frame_cls = tokens[:, 0].reshape(n, t2, ch)
+        if self.classifier_type == "CLS":
+            feat = frame_cls.mean(axis=1)
+        elif self.classifier_type == "CLS_MASK":
+            # bug-compatible: multiply by the EMPTY-frame indicator
+            # (aagcn_v24.py:317-318) and mean over all frames
+            feat = (frame_cls * empty[:, :, None]).mean(axis=1)
+        else:
+            raise ValueError("Unknown classifier_type")
+        logits = nn.Dense(self.num_class,
+                          kernel_init=init.fc_init(self.num_class),
+                          name="fc")(feat)
+        return logits, attn
+
+
 class AAGCNv31(nn.Module):
     """Reference aagcn_v31.py / aagcn_v32.py Models: interleaved
     spatial/temporal transformer layers over patchified AAGCN features.

@@ -402,6 +402,29 @@ def aagcn_v30_variables_from_torch(sd: Mapping[str, Any]
     return tree
 
 
+def aagcn_v24_variables_from_torch(sd: Mapping[str, Any]
+                                   ) -> Dict[str, Dict]:
+    """Map reference aagcn_v24.py Model -> models/aagcn_versions.AAGCNv24."""
+    tree = aagcn_variables_from_torch(sd)
+    sdn = state_dict_to_numpy(sd)
+    if "s_cls_token" in sdn:
+        _set(tree["params"], ("s_cls_token",), sdn["s_cls_token"])
+    if "s_pos_encoder.pe" in sdn:
+        _set(tree["params"], ("s_pos_encoder", "pe"),
+             sdn["s_pos_encoder.pe"])
+    if "alpha" in sdn:
+        _set(tree["params"], ("alpha",), sdn["alpha"])
+    i = 0
+    while f"s_trans_enc_layers.{i}.self_attn.in_proj_weight" in sdn:
+        _transformer_layer(tree, sdn, f"s_trans_enc_layers.{i}",
+                           (f"s_layer{i}",))
+        if f"s_trans_enc_layers.{i}.PA" in sdn:
+            _set(tree["params"], (f"s_layer{i}_PA",),
+                 sdn[f"s_trans_enc_layers.{i}.PA"])
+        i += 1
+    return tree
+
+
 def aagcn_v31_variables_from_torch(sd: Mapping[str, Any]
                                    ) -> Dict[str, Dict]:
     """Map reference aagcn_v31.py Model -> models/aagcn_versions.AAGCNv31."""

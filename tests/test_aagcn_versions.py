@@ -181,6 +181,48 @@ def test_v32_parity(kwargs):
                                rtol=1e-3)
 
 
+@pytest.mark.parametrize("kwargs", [
+    dict(add_A="False", classifier_type="CLS"),
+    dict(add_A="single", classifier_type="CLS"),
+    dict(add_A="triple", classifier_type="CLS"),
+    dict(add_A="single", classifier_type="CLS_MASK"),
+])
+def test_v24_parity(kwargs):
+    """v24: per-frame spatial transformer with block-diag PA masks and
+    (bug-compatible) CLS_MASK readout (aagcn_v24.py:176-320)."""
+    add_reference_to_path()
+    import torch
+    from model.architecture.aagcn.aagcn_v24 import Model as TorchV24
+    from agcn_tpu.models.aagcn_versions import AAGCNv24
+    from agcn_tpu.utils.torch_import import aagcn_v24_variables_from_torch
+
+    cfg = {"num_heads": 3, "model_dim": 24, "ffn_dim": 96, "dropout": 0.0,
+           "activation": "gelu", "prenorm": False, "num_layers": 2}
+    torch.manual_seed(0)
+    ref = TorchV24(graph=GRAPH, model_layers=101,
+                   s_trans_cfg=dict(cfg), kernel_size=3, pad=False,
+                   pos_enc="cossin", **kwargs).eval()
+    with torch.no_grad():
+        ref.alpha.fill_(0.2)
+    x = _input(t=60)
+    if kwargs["classifier_type"] == "CLS_MASK":
+        x[:, :, 48:] = 0.0  # some empty frames so the mask path matters
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(x))
+    ref_logits = (ref_out[0] if isinstance(ref_out, tuple)
+                  else ref_out).numpy()
+
+    adj = build_adjacency("ntu_rgb_d")
+    model = AAGCNv24(adj=adj, model_layers=101, kernel_size=3, pad=False,
+                     s_num_heads=3, s_model_dim=24, s_ffn_dim=96,
+                     dropout=0.0, num_layers=2, pos_enc="cossin",
+                     **kwargs)
+    variables = aagcn_v24_variables_from_torch(ref.state_dict())
+    ours, _ = model.apply(variables, jnp.asarray(x), train=False)
+    np.testing.assert_allclose(np.asarray(ours), ref_logits, atol=1e-3,
+                               rtol=1e-3)
+
+
 def test_v17_train_mode_runs():
     adj = build_adjacency("ntu_rgb_d")
     model = AAGCNv17(adj=adj, model_layers=101, kernel_size=3, pad=False,
