@@ -24,10 +24,19 @@ Implemented (runnable in the mounted reference):
   the un-permuted phi tensor, reproduced bit-exactly), then a torch-style
   transformer layer over (N, M*T+CLS, V*C) tokens.
 
+Also implemented: AAGCNv24 (per-frame spatial transformer with
+block-diagonal PA masks and the bug-compatible CLS_MASK readout) and
+AAGCNv34 (per-person temporal/spatial interleave with plain/forked MHA,
+shared relative position bias, and the v2/v3 mode family).
+
 NOT implementable — broken as shipped in the reference (verified by
-construction attempts against the mounted tree):
+construction/forward attempts against the mounted tree):
 - aagcn_v29.py: references `TCNUnit` without importing/defining it
   (aagcn_v29.py:233) -> NameError on construction.
+- aagcn_v33.py: its CLS token is repeated per-sample while the tokens
+  are per-person -> concat size mismatch RuntimeError on every config.
+- aagcn_v35.py: its relative-position tables are sized `length` while
+  the token sequences are 2x longer -> skew reshape RuntimeError.
 - aagcn_v36.py / aagcn_v37.py: their CrossTransformer builds Attention
   with the default output_dim=-1 (crossattention.py:112,126) ->
   "negative dimension" RuntimeError on construction; no config avoids it.
@@ -536,6 +545,220 @@ class AAGCNv31(nn.Module):
                           kernel_init=init.fc_init(self.num_class),
                           name="fc")(feat)
         return logits, attn
+
+
+class AAGCNv34(nn.Module):
+    """Reference aagcn_v34.py Model: per-PERSON temporal/spatial
+    transformer interleave over (N*M, T'(+CLS), V*C) tokens.
+
+    trans_seq: 's-t' / 't-s' (plain layers — the positional-arg slip
+    leaves even the torch MHA bias-less here), 'sa-t[-res]' (per-subset
+    spatial layers, PA*alpha injected POST-softmax via global_attn,
+    summed residually + shared sa_norm, aagcn_v34.py:402-441), and the
+    '-v2'/'-v3' variants which switch to the forked MHA with a shared
+    1D relative position bias ('rel-shared'); 'v3' REPLACES the spatial
+    tokens with the dropped sum normalized by a per-layer sa_norm
+    (:432-435) instead of adding them. '-res' wraps the temporal output
+    in dropout + residual + res_norm. Readout takes token 0 of the
+    flattened (N, M*(T'+1), V*C) sequence — person 0's CLS
+    (aagcn_v34.py:509-517); CLS-POOL adds fc+tanh.
+    """
+
+    num_class: int = 60
+    num_point: int = 25
+    num_person: int = 2
+    in_channels: int = 3
+    adj: Any = None
+    adaptive: bool = True
+    attention: bool = True
+    kernel_size: int = 9
+    pad: bool = True
+    backbone_dim: int = 16
+    trans_len: int = 100
+    add_A: bool = False
+    add_Aa: str = "None"          # 'None'|'False'|'True'|'zero'|'one'
+    trans_seq: str = "s-t"
+    multi_trans_dropout: float = 0.0
+    res_dropout: float = 0.2
+    t_num_heads: int = 2
+    t_model_dim: int = 16         # token dim = dim * V
+    t_ffn_dim: int = 64
+    t_length: int = 101
+    s_num_heads: int = 2
+    s_model_dim: int = 16         # token dim = dim * trans_len
+    s_ffn_dim: int = 64
+    s_length: int = 25
+    pos_emb: str = "rel-shared"
+    dropout: float = 0.0
+    activation: str = "gelu"
+    prenorm: bool = False
+    num_layers: int = 3
+    pos_enc: str = "True"
+    classifier_type: str = "CLS"
+    model_layers: int = 101
+    sync_axis: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False):
+        y, (n, c, t, v, m) = _preprocess(x, "bn", self.sync_axis, train)
+        y = _backbone(y, self.adj, self.model_layers, self.backbone_dim,
+                      self.kernel_size, self.kernel_size, self.pad,
+                      self.adaptive, self.attention, self.sync_axis, train)
+        nm, t2, v2, ch = y.shape
+        t_dim = v2 * ch
+        s_dim = t2 * ch
+
+        use_fork = "v2" in self.trans_seq or "v3" in self.trans_seq
+        rel_t = self.t_length if use_fork and "rel" in self.pos_emb else 0
+        rel_s = self.s_length if use_fork and "rel" in self.pos_emb else 0
+        # plain modes keep torch's own MHA, which the bias slip also
+        # strips; the fork MHA replaces it WITH biases in v2/v3 modes
+        attn_bias = use_fork
+
+        tokens = y.reshape(n * m, t2, t_dim)
+        has_cls = "CLS" in self.classifier_type
+        if has_cls:
+            cls = self.param("cls_token", nn.initializers.normal(1.0),
+                             (1, 1, t_dim))
+            tokens = jnp.concatenate(
+                [jnp.broadcast_to(cls, (n * m, 1, t_dim)), tokens], axis=1)
+        kind = "learned" if self.pos_enc in ("True", "original") else (
+            "cossin" if self.pos_enc == "cossin" else "none")
+        tokens = PosEncoding(kind, t_dim, name="t_pos_encoder")(tokens)
+
+        num_subset = self.adj.shape[0]
+        res_norm = nn.LayerNorm(name="res_norm") \
+            if "res" in self.trans_seq else None
+        shared_sa_norm = None
+        if self.add_A and "v3" not in self.trans_seq \
+                and self.trans_seq.startswith("sa"):
+            shared_sa_norm = nn.LayerNorm(name="sa_norm")
+
+        def drop(z, rate, name):
+            if rate > 0.0:
+                return nn.Dropout(rate, deterministic=not train,
+                                  name=name)(z)
+            return z
+
+        def t_layer(z, i):
+            out, _ = TransformerEncoderLayer(
+                num_heads=self.t_num_heads,
+                dim_feedforward=self.t_ffn_dim * self.num_point,
+                dropout=self.dropout, activation=self.activation,
+                pre_norm=self.prenorm, bias=False, attn_bias=attn_bias,
+                rel_pos_len=rel_t, name=f"t_layer{i}")(z, train)
+            return out
+
+        def strip(z):
+            return z[:, 1:] if has_cls else z
+
+        def to_joints(body):
+            z = body.reshape(n * m, t2, v2, ch)
+            z = jnp.transpose(z, (0, 2, 1, 3)).reshape(n * m, v2, s_dim)
+            return z
+
+        def from_joints(z):
+            z = z.reshape(n * m, v2, t2, ch)
+            return jnp.transpose(z, (0, 2, 1, 3)).reshape(n * m, t2,
+                                                          t_dim)
+
+        def reattach(body, prev):
+            return jnp.concatenate([prev[:, :1], body], axis=1) \
+                if has_cls else body
+
+        def spatial_plain(z, i):
+            out, _ = TransformerEncoderLayer(
+                num_heads=self.s_num_heads,
+                dim_feedforward=self.s_ffn_dim * self.trans_len,
+                dropout=self.dropout, activation=self.activation,
+                pre_norm=self.prenorm, bias=False, attn_bias=attn_bias,
+                rel_pos_len=rel_s, name=f"s_layer{i}")(z, train)
+            return out
+
+        def spatial_subsets(z, i):
+            """Per-subset spatial layers -> list of outputs."""
+            outs = []
+            for a_i in range(num_subset):
+                pa = self.param(f"s_layer{i}_PA{a_i}",
+                                lambda k, s, a_i=a_i: jnp.asarray(
+                                    self.adj[a_i], jnp.float32),
+                                (v2, v2))
+                la = None
+                if self.add_Aa in ("True", "zero"):
+                    la = self.param(f"s_layer{i}_alpha{a_i}",
+                                    nn.initializers.zeros, (1,))
+                elif self.add_Aa == "one":
+                    la = self.param(f"s_layer{i}_alpha{a_i}",
+                                    nn.initializers.ones, (1,))
+                if not use_fork:
+                    # bug-compatible: with the plain torch MHA the
+                    # isinstance guard (aagcn_v34.py:115-117) silently
+                    # drops alpha/global_attn — the masks have NO effect
+                    g_attn = a_scale = None
+                elif "v3" in self.trans_seq:
+                    g_attn, a_scale = pa, la
+                else:
+                    g_attn = pa * (la if la is not None else 1.0)
+                    a_scale = None
+                out, _ = TransformerEncoderLayer(
+                    num_heads=self.s_num_heads,
+                    dim_feedforward=self.s_ffn_dim * self.trans_len,
+                    dropout=self.dropout, activation=self.activation,
+                    pre_norm=self.prenorm, bias=False,
+                    attn_bias=attn_bias, rel_pos_len=rel_s,
+                    name=f"s_layer{i}_subset{a_i}")(
+                    z, train, alpha=a_scale, global_attn=g_attn)
+                outs.append(out)
+            return outs
+
+        seq = self.trans_seq.replace("-v2", "").replace("-v3", "")
+        for i in range(self.num_layers):
+            if seq == "t-s":
+                x1 = t_layer(tokens, i)
+                z = spatial_plain(to_joints(strip(x1)), i)
+                x2 = reattach(from_joints(z), x1)
+            elif seq == "s-t":
+                z = spatial_plain(to_joints(strip(tokens)), i)
+                x1 = reattach(from_joints(z), tokens)
+                x2 = t_layer(x1, i)
+            elif seq in ("sa-t", "sa-t-res"):
+                z = to_joints(strip(tokens))
+                outs = spatial_subsets(z, i)
+                ssum = sum(outs)
+                if "v3" in self.trans_seq:
+                    # v3: REPLACE with the dropped sum, per-layer sa_norm
+                    z = drop(ssum, self.multi_trans_dropout,
+                             f"mt_drop{i}")
+                    z = nn.LayerNorm(name=f"sa_norm{i}")(z)
+                else:
+                    z = z + drop(ssum, self.multi_trans_dropout,
+                                 f"mt_drop{i}")
+                    if shared_sa_norm is not None:
+                        z = shared_sa_norm(z)
+                x1 = reattach(from_joints(z), tokens)
+                x2 = t_layer(x1, i)
+            else:
+                raise ValueError(f"unknown trans_seq {self.trans_seq!r}")
+            if "res" in self.trans_seq:
+                tokens = tokens + drop(x2, self.res_dropout,
+                                       f"res_drop{i}")
+                tokens = res_norm(tokens)
+            else:
+                tokens = x2
+
+        flat = tokens.reshape(n, -1, t_dim)
+        if self.classifier_type in ("CLS", "CLS-POOL"):
+            feat = flat[:, 0]
+            if "POOL" in self.classifier_type:
+                feat = nn.tanh(nn.Dense(t_dim, name="cls_pool_fc")(feat))
+        elif self.classifier_type == "GAP":
+            feat = flat.mean(axis=1)
+        else:
+            raise ValueError("Unknown classifier_type")
+        logits = nn.Dense(self.num_class,
+                          kernel_init=init.fc_init(self.num_class),
+                          name="fc")(feat)
+        return logits, None
 
 
 class AdaptiveGCNv3(nn.Module):

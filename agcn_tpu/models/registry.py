@@ -43,6 +43,8 @@ _ALIASES = {
     "model.architecture.aagcn.aagcn_v32.Model": "aagcn_v32",
     "model.aagcn_v24.Model": "aagcn_v24",
     "model.architecture.aagcn.aagcn_v24.Model": "aagcn_v24",
+    "model.aagcn_v34.Model": "aagcn_v34",
+    "model.architecture.aagcn.aagcn_v34.Model": "aagcn_v34",
 }
 
 
@@ -76,15 +78,17 @@ def build_model(name: str, model_args: Dict[str, Any]):
     if key == "aagcn_transformer":
         return _build_agcn(model_args, AAGCNTransformer)
     if key in ("aagcn_v17", "aagcn_v24", "aagcn_v30", "aagcn_v31",
-               "aagcn_v32"):
+               "aagcn_v32", "aagcn_v34"):
         from agcn_tpu.models.aagcn_versions import (AAGCNv17, AAGCNv24,
-                                                    AAGCNv30, AAGCNv31)
+                                                    AAGCNv30, AAGCNv31,
+                                                    AAGCNv34)
 
         if key == "aagcn_v32":  # v32 = v31 + per-layer alphas/attn-a
             model_args = dict(model_args, version="v32")
             key = "aagcn_v31"
         cls = {"aagcn_v17": AAGCNv17, "aagcn_v24": AAGCNv24,
-               "aagcn_v30": AAGCNv30, "aagcn_v31": AAGCNv31}[key]
+               "aagcn_v30": AAGCNv30, "aagcn_v31": AAGCNv31,
+               "aagcn_v34": AAGCNv34}[key]
         return _build_agcn(model_args, cls)
     if key == "sgn_transformer":
         args = dict(model_args)

@@ -94,6 +94,8 @@ class MultiheadAttention(nn.Module):
     dim: Optional[int] = None
     use_bias: bool = True
     rel_pos_len: int = 0
+    rel_scale_q: bool = True  # reference fork applies q/sqrt(d) to the
+    # rel-pos product too (multiheadattention.py:33-40); keep True
 
     @nn.compact
     def __call__(self, query, key=None, value=None,
@@ -166,6 +168,10 @@ class TransformerEncoderLayer(nn.Module):
     # with bias=False for the linears AND LayerNorms (positional-arg slip,
     # aagcn_v32.py:77-78); bias=False reproduces that
     bias: bool = True
+    attn_bias: bool = True    # MHA in/out projection bias (the same slip
+    # also strips it when the PLAIN torch MHA survives, as in v34's
+    # non-v2/v3 modes)
+    rel_pos_len: int = 0      # shared 1D relative position bias length
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False,
@@ -189,7 +195,8 @@ class TransformerEncoderLayer(nn.Module):
         if self.pre_norm:
             x = LN("norm1")(x)
         attn_out, attn = MultiheadAttention(
-            self.num_heads, name="self_attn")(
+            self.num_heads, use_bias=self.attn_bias,
+            rel_pos_len=self.rel_pos_len, name="self_attn")(
             x, additive_mask=additive_mask, alpha=alpha,
             global_attn=global_attn)
         x = x + drop(attn_out)
@@ -281,6 +288,10 @@ class TransformerEncoder(nn.Module):
     # with bias=False for the linears AND LayerNorms (positional-arg slip,
     # aagcn_v32.py:77-78); bias=False reproduces that
     bias: bool = True
+    attn_bias: bool = True    # MHA in/out projection bias (the same slip
+    # also strips it when the PLAIN torch MHA survives, as in v34's
+    # non-v2/v3 modes)
+    rel_pos_len: int = 0      # shared 1D relative position bias length
     pos_enc: Optional[str] = None  # None | 'abs' | 'cos'
     max_len: int = 600
 

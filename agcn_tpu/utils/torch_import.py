@@ -318,16 +318,24 @@ def sgn_variables_from_torch(sd: Mapping[str, Any]) -> Dict[str, Dict]:
 
 def _transformer_layer(tree: Dict, sd: Mapping[str, np.ndarray],
                        torch_prefix: str, flax_path: Tuple[str, ...]) -> None:
-    """torch nn.TransformerEncoderLayer -> our TransformerEncoderLayer."""
+    """torch nn.TransformerEncoderLayer -> our TransformerEncoderLayer.
+    Bias keys may be absent (the v32/v34 positional-arg bias=False slip);
+    a fork-MHA rel-pos table maps onto our RelPosEmb1D."""
     _set(tree["params"], flax_path + ("self_attn", "in_proj_kernel"),
          np.ascontiguousarray(sd[f"{torch_prefix}.self_attn."
                                  f"in_proj_weight"].T))
-    _set(tree["params"], flax_path + ("self_attn", "in_proj_bias"),
-         sd[f"{torch_prefix}.self_attn.in_proj_bias"])
+    if f"{torch_prefix}.self_attn.in_proj_bias" in sd:
+        _set(tree["params"], flax_path + ("self_attn", "in_proj_bias"),
+             sd[f"{torch_prefix}.self_attn.in_proj_bias"])
     _set(tree["params"], flax_path + ("self_attn", "out_proj", "kernel"),
          linear_kernel(sd[f"{torch_prefix}.self_attn.out_proj.weight"]))
-    _set(tree["params"], flax_path + ("self_attn", "out_proj", "bias"),
-         sd[f"{torch_prefix}.self_attn.out_proj.bias"])
+    if f"{torch_prefix}.self_attn.out_proj.bias" in sd:
+        _set(tree["params"], flax_path + ("self_attn", "out_proj", "bias"),
+             sd[f"{torch_prefix}.self_attn.out_proj.bias"])
+    if f"{torch_prefix}.self_attn.pos_emb.rel_pos_emb" in sd:
+        _set(tree["params"],
+             flax_path + ("self_attn", "rel_pos", "rel_pos_emb"),
+             sd[f"{torch_prefix}.self_attn.pos_emb.rel_pos_emb"])
     # bias keys may be absent (v32's accidental bias=False layers)
     for lin in ("linear1", "linear2"):
         _set(tree["params"], flax_path + (lin, "kernel"),
@@ -421,6 +429,59 @@ def aagcn_v24_variables_from_torch(sd: Mapping[str, Any]
         if f"s_trans_enc_layers.{i}.PA" in sdn:
             _set(tree["params"], (f"s_layer{i}_PA",),
                  sdn[f"s_trans_enc_layers.{i}.PA"])
+        i += 1
+    return tree
+
+
+def aagcn_v34_variables_from_torch(sd: Mapping[str, Any]
+                                   ) -> Dict[str, Dict]:
+    """Map reference aagcn_v34.py Model -> models/aagcn_versions.AAGCNv34."""
+    tree = aagcn_variables_from_torch(sd)
+    sdn = state_dict_to_numpy(sd)
+    for key, path in (("cls_token", ("cls_token",)),
+                      ("t_pos_encoder.pe", ("t_pos_encoder", "pe"))):
+        if key in sdn:
+            _set(tree["params"], path, sdn[key])
+    for norm in ("sa_norm", "res_norm"):
+        if f"{norm}.weight" in sdn:
+            _set(tree["params"], (norm, "scale"), sdn[f"{norm}.weight"])
+            _set(tree["params"], (norm, "bias"), sdn[f"{norm}.bias"])
+    if "cls_pool_fc.weight" in sdn:
+        _set(tree["params"], ("cls_pool_fc", "kernel"),
+             linear_kernel(sdn["cls_pool_fc.weight"]))
+        _set(tree["params"], ("cls_pool_fc", "bias"),
+             sdn["cls_pool_fc.bias"])
+    i = 0
+    while f"t_trans_enc_layers.{i}.self_attn.in_proj_weight" in sdn:
+        _transformer_layer(tree, sdn, f"t_trans_enc_layers.{i}",
+                           (f"t_layer{i}",))
+        i += 1
+    i = 0
+    while (f"s_trans_enc_layers.{i}.self_attn.in_proj_weight" in sdn
+           or f"s_trans_enc_layers.{i}.subset0.self_attn."
+              f"in_proj_weight" in sdn):
+        if f"s_trans_enc_layers.{i}.self_attn.in_proj_weight" in sdn:
+            _transformer_layer(tree, sdn, f"s_trans_enc_layers.{i}",
+                               (f"s_layer{i}",))
+        else:
+            a = 0
+            while f"s_trans_enc_layers.{i}.subset{a}.self_attn." \
+                  f"in_proj_weight" in sdn:
+                p = f"s_trans_enc_layers.{i}.subset{a}"
+                _transformer_layer(tree, sdn, p,
+                                   (f"s_layer{i}_subset{a}",))
+                if f"{p}.PA" in sdn:
+                    _set(tree["params"], (f"s_layer{i}_PA{a}",),
+                         sdn[f"{p}.PA"])
+                if f"{p}.alpha" in sdn:
+                    _set(tree["params"], (f"s_layer{i}_alpha{a}",),
+                         sdn[f"{p}.alpha"])
+                a += 1
+            if f"s_trans_enc_layers.{i}.sa_norm.weight" in sdn:  # v3
+                _set(tree["params"], (f"sa_norm{i}", "scale"),
+                     sdn[f"s_trans_enc_layers.{i}.sa_norm.weight"])
+                _set(tree["params"], (f"sa_norm{i}", "bias"),
+                     sdn[f"s_trans_enc_layers.{i}.sa_norm.bias"])
         i += 1
     return tree
 

@@ -1,7 +1,9 @@
 """Per-version weight-transplant parity for the AAGCN transformer
-variants that are runnable in the mounted reference (v17, v30).
+variants that are runnable in the mounted reference (v17, v24, v30,
+v31, v32, v34).
 
-v29 / v36 / v37 are broken as shipped (NameError on TCNUnit,
+v29 / v33 / v35 / v36 / v37 are broken as shipped (NameError on TCNUnit,
+per-person CLS concat mismatch, rel-table length mismatch,
 crossattention.py output_dim=-1 crash) — verified by
 test_broken_versions_documented below, which asserts the breakage so a
 reference update that fixes them will surface here.
@@ -223,6 +225,62 @@ def test_v24_parity(kwargs):
                                rtol=1e-3)
 
 
+@pytest.mark.parametrize("kwargs", [
+    dict(trans_seq="s-t", classifier_type="GAP"),
+    dict(trans_seq="t-s", classifier_type="CLS-POOL"),
+    dict(trans_seq="s-t-v2", classifier_type="CLS"),
+    dict(trans_seq="sa-t-v2", add_A=True, add_Aa="True",
+         classifier_type="CLS"),
+    # the reference's rel-pos skew requires seq len == table length, so
+    # rel modes need the CLS slot to reach t_length=101
+    dict(trans_seq="sa-t-res-v3", add_A=True, add_Aa="one",
+         res_dropout=0.0, multi_trans_dropout=0.0,
+         classifier_type="CLS"),
+])
+def test_v34_parity(kwargs):
+    """v34: per-person temporal/spatial interleave, plain vs forked MHA
+    with shared relative position bias, v3's replace-and-norm spatial
+    step (aagcn_v34.py:198-524)."""
+    add_reference_to_path()
+    import torch
+    from model.architecture.aagcn.aagcn_v34 import Model as TorchV34
+    from agcn_tpu.models.aagcn_versions import AAGCNv34
+    from agcn_tpu.utils.torch_import import aagcn_v34_variables_from_torch
+
+    t_cfg = {"num_heads": 2, "model_dim": 16, "ffn_dim": 64,
+             "dropout": 0.0, "activation": "gelu", "prenorm": False,
+             "num_layers": 2, "pos_emb": "rel-shared", "length": 101}
+    s_cfg = dict(t_cfg, length=25)
+    torch.manual_seed(0)
+    ref = TorchV34(graph=GRAPH, model_layers=101,
+                   t_trans_cfg=dict(t_cfg), s_trans_cfg=dict(s_cfg),
+                   kernel_size=3, pad=False, pos_enc="cossin",
+                   backbone_dim=16, trans_len=100, **kwargs).eval()
+    if kwargs.get("add_Aa") == "True":
+        with torch.no_grad():  # exercise the alpha path
+            for layers in ref.s_trans_enc_layers:
+                for nme, sl in layers.items():
+                    if hasattr(sl, "alpha") and sl.alpha is not None:
+                        sl.alpha.fill_(0.25)
+    x = _input(t=300)
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(x))
+    ref_logits = (ref_out[0] if isinstance(ref_out, tuple)
+                  else ref_out).numpy()
+
+    adj = build_adjacency("ntu_rgb_d")
+    model = AAGCNv34(adj=adj, model_layers=101, kernel_size=3, pad=False,
+                     backbone_dim=16, trans_len=100,
+                     t_model_dim=16, t_ffn_dim=64, t_length=101,
+                     s_model_dim=16, s_ffn_dim=64, s_length=25,
+                     dropout=0.0, num_layers=2, pos_enc="cossin",
+                     **kwargs)
+    variables = aagcn_v34_variables_from_torch(ref.state_dict())
+    ours, _ = model.apply(variables, jnp.asarray(x), train=False)
+    np.testing.assert_allclose(np.asarray(ours), ref_logits, atol=1e-3,
+                               rtol=1e-3)
+
+
 def test_v17_train_mode_runs():
     adj = build_adjacency("ntu_rgb_d")
     model = AAGCNv17(adj=adj, model_layers=101, kernel_size=3, pad=False,
@@ -263,3 +321,22 @@ def test_broken_versions_documented():
         V37(graph=GRAPH, model_layers=101, t_trans_cfg=v37_t,
             s_trans_cfg=v37_s, c_trans_cfg=v37_c, kernel_size=3,
             pad=False, pos_enc=None)
+
+    # v33: CLS repeated per sample vs per-person tokens -> concat crash;
+    # v35: rel tables sized `length` vs 2x-long sequences -> skew crash
+    import torch
+    from model.architecture.aagcn.aagcn_v33 import Model as V33
+    from model.architecture.aagcn.aagcn_v35 import Model as V35
+
+    rel = {"num_heads": 2, "model_dim": 16, "ffn_dim": 64, "dropout": 0.0,
+           "activation": "gelu", "prenorm": False, "num_layers": 2,
+           "pos_emb": "rel-shared", "length": 101}
+    m33 = V33(graph=GRAPH, model_layers=101, kernel_size=3, pad=False,
+              t_trans_cfg=dict(rel, length=201), s_trans_cfg=dict(rel))
+    with pytest.raises(RuntimeError):
+        m33(torch.ones(2, 3, 300, 25, 2))
+    m35 = V35(graph=GRAPH, model_layers=101, kernel_size=3, pad=False,
+              t_trans_cfg=dict(rel), s_trans_cfg=dict(rel, length=25),
+              trans_seq="v0-t-s")
+    with pytest.raises(RuntimeError):
+        m35(torch.ones(2, 3, 300, 25, 2))
