@@ -47,7 +47,7 @@ CLS cross-fusion) is provided by models/aagcn_transformer.py.
 from __future__ import annotations
 
 import math
-from typing import Any, Optional, Tuple
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp

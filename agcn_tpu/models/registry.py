@@ -9,7 +9,7 @@ resolves through agcn_tpu.graph.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict
+from typing import Any, Dict
 
 from agcn_tpu.graph import build_adjacency
 from agcn_tpu.models.aagcn import AAGCN

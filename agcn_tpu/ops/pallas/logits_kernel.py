@@ -13,8 +13,6 @@ and to serve as the building block for a fused custom-VJP path.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

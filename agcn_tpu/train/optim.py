@@ -8,7 +8,7 @@ re-expressed as optax transforms so the whole update is one jitted step.
 
 from __future__ import annotations
 
-from typing import Callable, Optional, Sequence
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp

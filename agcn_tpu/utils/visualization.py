@@ -8,7 +8,7 @@ training hosts never pay for it.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import numpy as np
 
