@@ -136,6 +136,17 @@ def _backbone(y, adj, model_layers, output_channel, kernel_size, stride,
     return y
 
 
+def _classify(mod, feat, train):
+    """drop_out -> fc head shared by every version (the reference
+    BaseModel's forward_classifier, aagcn.py:522-524, runs for all
+    variants via the base forward)."""
+    if mod.drop_out > 0.0:
+        feat = nn.Dropout(mod.drop_out, deterministic=not train,
+                          name="drop_out")(feat)
+    return nn.Dense(mod.num_class, kernel_init=init.fc_init(mod.num_class),
+                    name="fc")(feat)
+
+
 class AAGCNv17(nn.Module):
     """Reference aagcn_v17.py Model: AAGCN patchify backbone + temporal
     transformer encoder with optional causal/anticausal masking."""
@@ -160,6 +171,7 @@ class AAGCNv17(nn.Module):
     trans_num_layers: int = 1
     pos_enc: str = "True"         # 'True' | 'cossin' | other -> none
     classifier_type: str = "CLS"
+    drop_out: float = 0.0    # BaseModel forward_classifier dropout
     model_layers: int = 10
     sync_axis: Optional[str] = None
 
@@ -205,9 +217,7 @@ class AAGCNv17(nn.Module):
             feat = tokens.mean(axis=1)
         else:
             raise ValueError("Unknown classifier_type")
-        logits = nn.Dense(self.num_class,
-                          kernel_init=init.fc_init(self.num_class),
-                          name="fc")(feat)
+        logits = _classify(self, feat, train)
         return logits, attn_list
 
 
@@ -245,6 +255,7 @@ class AAGCNv24(nn.Module):
     num_layers: int = 3
     pos_enc: str = "True"
     classifier_type: str = "CLS"  # 'CLS' | 'CLS_MASK'
+    drop_out: float = 0.0    # BaseModel forward_classifier dropout
     model_layers: int = 101
     sync_axis: Optional[str] = None
 
@@ -318,9 +329,7 @@ class AAGCNv24(nn.Module):
             feat = (frame_cls * empty[:, :, None]).mean(axis=1)
         else:
             raise ValueError("Unknown classifier_type")
-        logits = nn.Dense(self.num_class,
-                          kernel_init=init.fc_init(self.num_class),
-                          name="fc")(feat)
+        logits = _classify(self, feat, train)
         return logits, attn
 
 
@@ -376,6 +385,7 @@ class AAGCNv31(nn.Module):
     num_layers: int = 3
     pos_enc: str = "True"
     classifier_type: str = "CLS"
+    drop_out: float = 0.0    # BaseModel forward_classifier dropout
     model_layers: int = 101
     sync_axis: Optional[str] = None
 
@@ -541,9 +551,7 @@ class AAGCNv31(nn.Module):
             feat = tokens.mean(axis=1)
         else:
             raise ValueError("Unknown classifier_type")
-        logits = nn.Dense(self.num_class,
-                          kernel_init=init.fc_init(self.num_class),
-                          name="fc")(feat)
+        logits = _classify(self, feat, train)
         return logits, attn
 
 
@@ -595,6 +603,7 @@ class AAGCNv34(nn.Module):
     num_layers: int = 3
     pos_enc: str = "True"
     classifier_type: str = "CLS"
+    drop_out: float = 0.0    # BaseModel forward_classifier dropout
     model_layers: int = 101
     sync_axis: Optional[str] = None
 
@@ -717,13 +726,28 @@ class AAGCNv34(nn.Module):
                 x1 = t_layer(tokens, i)
                 z = spatial_plain(to_joints(strip(x1)), i)
                 x2 = reattach(from_joints(z), x1)
-            elif seq == "s-t":
+            elif seq == "s-t" or (seq == "s-t-res" and use_fork):
+                # plain 's-t-res' (no v2/v3) is NOT dispatched by the
+                # reference (aagcn_v34.py:452-503 elif chain) and would
+                # NameError there; only 's-t-res-v2' is valid.
                 z = spatial_plain(to_joints(strip(tokens)), i)
                 x1 = reattach(from_joints(z), tokens)
                 x2 = t_layer(x1, i)
             elif seq in ("sa-t", "sa-t-res"):
                 z = to_joints(strip(tokens))
-                outs = spatial_subsets(z, i)
+                if self.add_A:
+                    outs = spatial_subsets(z, i)
+                elif "v3" in self.trans_seq:
+                    # reference: add_A=False leaves a plain ModuleList;
+                    # the v3 path's list(_layers)[:-1] is then empty and
+                    # torch.stack([]) crashes (aagcn_v34.py:411-417,431)
+                    raise ValueError(
+                        "trans_seq 'sa-t*-v3' requires add_A=True "
+                        "(broken-as-shipped upstream otherwise)")
+                else:
+                    # reference ctor else-branch (aagcn_v34.py:344-353):
+                    # a single PA-less spatial layer, mask=None
+                    outs = [spatial_plain(z, i)]
                 ssum = sum(outs)
                 if "v3" in self.trans_seq:
                     # v3: REPLACE with the dropped sum, per-layer sa_norm
@@ -755,9 +779,7 @@ class AAGCNv34(nn.Module):
             feat = flat.mean(axis=1)
         else:
             raise ValueError("Unknown classifier_type")
-        logits = nn.Dense(self.num_class,
-                          kernel_init=init.fc_init(self.num_class),
-                          name="fc")(feat)
+        logits = _classify(self, feat, train)
         return logits, None
 
 
@@ -881,6 +903,7 @@ class AAGCNv30(nn.Module):
     num_layers: int = 3
     pos_enc: str = "True"
     classifier_type: str = "CLS"
+    drop_out: float = 0.0    # BaseModel forward_classifier dropout
     model_layers: int = 101
     sync_axis: Optional[str] = None
 
@@ -931,7 +954,5 @@ class AAGCNv30(nn.Module):
             feat = tokens.mean(axis=1)
         else:
             raise ValueError("Unknown classifier_type")
-        logits = nn.Dense(self.num_class,
-                          kernel_init=init.fc_init(self.num_class),
-                          name="fc")(feat)
+        logits = _classify(self, feat, train)
         return logits, attn

@@ -96,13 +96,16 @@ class MultiheadAttention(nn.Module):
     rel_pos_len: int = 0
     rel_scale_q: bool = True  # reference fork applies q/sqrt(d) to the
     # rel-pos product too (multiheadattention.py:33-40); keep True
+    dropout: float = 0.0  # attention-weight dropout at train time
+    # (reference multiheadattention.py:57-58, p = layer dropout)
 
     @nn.compact
     def __call__(self, query, key=None, value=None,
                  mask: Optional[jnp.ndarray] = None,
                  additive_mask: Optional[jnp.ndarray] = None,
                  alpha: Optional[jnp.ndarray] = None,
-                 global_attn: Optional[jnp.ndarray] = None
+                 global_attn: Optional[jnp.ndarray] = None,
+                 train: bool = False
                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         key = query if key is None else key
         value = key if value is None else value
@@ -146,6 +149,11 @@ class MultiheadAttention(nn.Module):
             applied = applied * alpha
         if global_attn is not None:
             applied = applied + global_attn
+        if self.dropout > 0.0:
+            # applied AFTER the alpha/global_attn injection, before the
+            # AV matmul (reference multiheadattention.py:57-60)
+            applied = nn.Dropout(self.dropout, deterministic=not train,
+                                 name="attn_drop")(applied)
         out = jnp.einsum("bhqk,bhkd->bhqd", applied, v)
         bsz, _, t, _ = out.shape
         out = out.transpose(0, 2, 1, 3).reshape(bsz, t, d)
@@ -196,9 +204,10 @@ class TransformerEncoderLayer(nn.Module):
             x = LN("norm1")(x)
         attn_out, attn = MultiheadAttention(
             self.num_heads, use_bias=self.attn_bias,
-            rel_pos_len=self.rel_pos_len, name="self_attn")(
+            rel_pos_len=self.rel_pos_len, dropout=self.dropout,
+            name="self_attn")(
             x, additive_mask=additive_mask, alpha=alpha,
-            global_attn=global_attn)
+            global_attn=global_attn, train=train)
         x = x + drop(attn_out)
         if not self.pre_norm:
             x = LN("norm1")(x)
@@ -305,7 +314,8 @@ class TransformerEncoder(nn.Module):
         for i in range(self.num_layers):
             x, a = TransformerEncoderLayer(
                 self.num_heads, self.dim_feedforward, self.dropout,
-                self.activation, self.pre_norm,
+                self.activation, self.pre_norm, bias=self.bias,
+                attn_bias=self.attn_bias, rel_pos_len=self.rel_pos_len,
                 name=f"layer{i + 1}")(x, train)
             attns.append(a)
         return x, attns
