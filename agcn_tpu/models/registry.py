@@ -27,6 +27,9 @@ _ALIASES = {
     "model.sgn_v12.SGN": "sgn",
     "model.sgn_v13.SGN": "sgn",
     "model.sgn_v14.SGN": "sgn",
+    "model.architecture.sgn.sgn_v11.SGN": "sgn",
+    "model.architecture.sgn.sgn_v12.SGN": "sgn",
+    "model.architecture.sgn.sgn_v13.SGN": "sgn",
     "model.architecture.sgn.sgn_v14.SGN": "sgn",
     "model.sgn_v15.SGN": "sgn_transformer",
     "model.architecture.sgn.sgn_v15.SGN": "sgn_transformer",

@@ -53,6 +53,16 @@ EMB_MODES = {
 }
 
 
+def infogcn_latent_sample(mu: jnp.ndarray, logvar: jnp.ndarray,
+                          eps: jnp.ndarray, noise_ratio: float
+                          ) -> jnp.ndarray:
+    """Train-time reparameterized latent draw (reference
+    sgn_v12.py:814-824): std = clamp(exp(noise_ratio * logvar), max=100),
+    z = eps * std + mu."""
+    std = jnp.minimum(jnp.exp(noise_ratio * logvar), 100.0)
+    return eps * std + mu
+
+
 def _dropout2d(x, rate, train, module, name):
     """Torch Dropout2d semantics: drop whole channels, per (batch, C)."""
     if rate <= 0.0:
@@ -726,6 +736,11 @@ class SGN(nn.Module):
     multi_t: Sequence[Sequence[int]] = ((), (), (3,))
     multi_t_shared: int = 0  # 0 none, 2 inter-layer share
     t_mode: int = 1
+    # InfoGCN latent head (SGN v12): fc_mu/fc_logvar over the pooled
+    # feature, reparameterized sampling at train time, model-owned
+    # orthogonal z_prior (reference sgn_v12.py:620-630,791-794,812-824)
+    infogcn_noise_ratio: Optional[float] = None
+    infogcn_gain: Optional[float] = None
     t_mha_kwargs: Optional[dict] = None
     t_maxpool_kwargs: Optional[dict] = None
     aspp_rates: Optional[Sequence[int]] = None
@@ -1070,11 +1085,41 @@ class SGN(nn.Module):
             y = y + cls_emb
 
         y = y.reshape(b, -1)
-        # latent z for the InfoGCN-style MMD loss (SGN v12,
-        # reference model/readme.yaml:380-417) and the branch outputs for
-        # the cosine feature-similarity loss (processor.py:583-595)
-        aux = {"g": g_list, "z": y,
-               "branch_outputs": [o.reshape(b, -1) for o in outs]}
+        # branch outputs for the cosine feature-similarity loss in torch
+        # (N, C, T) layout so CosineLoss dim=1 = channels
+        # (processor.py:583-599, utils/loss.py:7-21)
+        branch_outs = [jnp.transpose(o.reshape(b, o.shape[1], -1),
+                                     (0, 2, 1)) for o in outs]
+        aux = {"g": g_list, "branch_outputs": branch_outs}
+        if self.infogcn_noise_ratio is not None \
+                and self.infogcn_gain is not None:
+            # SGN v12 InfoGCN head: the classifier consumes the latent z
+            # (sgn_v12.py:791-798), which is mu + eps*std at train time
+            # and mu at eval (latent_sample, sgn_v12.py:814-824); the
+            # class prior is a fixed orthogonally-initialized buffer
+            # (sgn_v12.py:626,812) exposed for the trainer's MMD loss.
+            d = y.shape[-1]
+            mu = nn.Dense(d, kernel_init=init.torch_default_kernel,
+                          bias_init=init.torch_default_bias(d),
+                          name="fc_mu")(y)
+            logvar = nn.Dense(d, kernel_init=init.torch_default_kernel,
+                              bias_init=init.torch_default_bias(d),
+                              name="fc_logvar")(y)
+            if train:
+                eps = jax.random.normal(self.make_rng("dropout"),
+                                        logvar.shape, logvar.dtype)
+                y = infogcn_latent_sample(mu, logvar, eps,
+                                          self.infogcn_noise_ratio)
+            else:
+                y = mu
+            gain = float(self.infogcn_gain)
+            z_prior = self.variable(
+                "batch_stats", "z_prior",
+                lambda: nn.initializers.orthogonal(scale=gain)(
+                    self.make_rng("params"), (self.num_class, d),
+                    jnp.float32))
+            aux["z_prior"] = jax.lax.stop_gradient(z_prior.value)
+        aux["z"] = y
         if self.dropout > 0.0:
             y = nn.Dropout(self.dropout, deterministic=not train,
                            name="fc_drop")(y)

@@ -56,10 +56,17 @@ class BatchNorm(nn.Module):
                                lambda s: jnp.ones(s, jnp.float32),
                                (features,))
 
+        def affine_apply(mean, var):
+            # Folded per-channel affine: y = x*a + b with fp32 a/b.
+            # One pass over the (possibly bf16) activation — the
+            # upcast happens in-register inside the fused loop instead
+            # of materializing an fp32 copy (round-3 PERF.md).
+            a = scale * jax.lax.rsqrt(var + self.epsilon)
+            b = bias - mean * a
+            return (x * a + b).astype(x.dtype)
+
         if not train:
-            mean, var = ra_mean.value, ra_var.value
-            y = (x - mean) * jax.lax.rsqrt(var + self.epsilon)
-            return y * scale + bias
+            return affine_apply(ra_mean.value, ra_var.value)
 
         compute = x.astype(jnp.float32)
         red_axes = tuple(range(x.ndim - 1))
@@ -92,7 +99,9 @@ class BatchNorm(nn.Module):
             unbiased = var * count / max(count - 1, 1)
         else:
             if self.axis_name is None:
-                mean = jnp.mean(compute, axis=red_axes)
+                # dtype=f32 accumulates the reductions in fp32 without a
+                # materialized fp32 activation copy
+                mean = jnp.mean(x, axis=red_axes, dtype=jnp.float32)
                 mean2 = jnp.mean(jnp.square(compute), axis=red_axes)
                 count = x.size // x.shape[-1]
             else:
@@ -108,8 +117,13 @@ class BatchNorm(nn.Module):
                 mean = total[:x.shape[-1]] / count
                 mean2 = total[x.shape[-1]:-1] / count
             var = mean2 - jnp.square(mean)
-            y = (compute - mean) * jax.lax.rsqrt(var + self.epsilon)
             unbiased = var * count / jnp.maximum(count - 1, 1)
+
+            if not self.is_initializing():
+                m = self.momentum
+                ra_mean.value = (1 - m) * ra_mean.value + m * mean
+                ra_var.value = (1 - m) * ra_var.value + m * unbiased
+            return affine_apply(mean, var)
 
         if not self.is_initializing():
             m = self.momentum

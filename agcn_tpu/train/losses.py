@@ -98,6 +98,34 @@ def cosine_loss(x1: jnp.ndarray, x2: jnp.ndarray, mode: int = 1,
     return 1.0 - jnp.mean(num / den)
 
 
+def fsim_pair_loss(branch_outputs, alphas, kernels: int, mode: int = 1):
+    """Cosine feature-similarity loss with the reference's pairing
+    (utils/processor.py:583-599): each level-i kernel-j temporal branch
+    output is pulled toward the FINAL level's same-kernel-j output,
+    weighted by fsim_alpha[i*kernels + j].
+
+    Args:
+      branch_outputs: the model's x_tem_list equivalents, (B, C, T)
+        layout (None entries dropped).
+      alphas: per-pair weights (reference indexes the flat pair index
+        directly; extra pairs reuse the last alpha).
+      kernels: len(multi_t[-1]) — branches per level.
+      mode: CosineLoss mode (1 channel cosine, 2 norm-vector cosine).
+    """
+    outs = [o for o in branch_outputs if o is not None]
+    kernels = max(int(kernels), 1)
+    levels = len(outs) // kernels - 1
+    alphas = list(alphas) or [1.0]
+    total = 0.0
+    for i in range(levels):
+        for j in range(kernels):
+            idx = i * kernels + j
+            a = alphas[idx] if idx < len(alphas) else alphas[-1]
+            total = total + a * cosine_loss(outs[idx], outs[-kernels + j],
+                                            mode=mode)
+    return total
+
+
 def build_loss(name: str, num_class: int, smoothing: float = 0.0,
                alpha=None, gamma: float = 2.0):
     """Loss factory mirroring the reference's get_loss

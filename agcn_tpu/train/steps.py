@@ -109,21 +109,32 @@ def make_train_step(loss_fn: Callable,
 
 
 def make_eval_step(loss_fn: Optional[Callable] = None,
-                   multi_crop: int = 1):
+                   multi_crop: int = 1,
+                   aux_loss_fn: Optional[Callable] = None):
     """Build an eval step; multi_crop > 1 averages logits over crops that
-    were flattened into the batch axis (reference processor.py:546-548)."""
+    were flattened into the batch axis (reference processor.py:546-548).
+    With aux_loss_fn, auxiliary (MMD/fsim) eval metrics are computed on
+    the crop-AVERAGED latent z (reference processor.py:563-567)."""
 
     def eval_step(state: TrainState, x, y):
-        logits, _, _ = _forward(state.apply_fn, state.params,
-                                state.batch_stats, x, False, None)
+        logits, aux, _ = _forward(state.apply_fn, state.params,
+                                  state.batch_stats, x, False, None)
         if multi_crop > 1:
             logits = logits.reshape(-1, multi_crop,
                                     logits.shape[-1]).mean(axis=1)
+            if aux is not None and isinstance(aux, dict) and "z" in aux:
+                z = aux["z"]
+                aux = dict(aux, z=z.reshape(-1, multi_crop,
+                                            z.shape[-1]).mean(axis=1))
         metrics = {}
         if loss_fn is not None and y is not None:
             metrics["loss"] = loss_fn(logits, y)
             metrics["acc"] = jnp.mean(
                 (jnp.argmax(logits, -1) == y).astype(jnp.float32))
+            if aux_loss_fn is not None:
+                extra, extra_metrics = aux_loss_fn(aux, y)
+                metrics["loss"] = metrics["loss"] + extra
+                metrics.update(extra_metrics)
         return logits, metrics
 
     return eval_step

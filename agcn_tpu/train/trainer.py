@@ -313,7 +313,9 @@ class Trainer:
         if use_mmd:
             import jax.random as jrandom
 
-            # fixed random class prototypes (InfoGCN's z_prior role)
+            # fallback prototypes for models WITHOUT the InfoGCN head; a
+            # model exposing aux["z_prior"] (SGN with infogcn_* set,
+            # reference sgn_v12.py:626,812) always wins below
             key = jrandom.PRNGKey(cfg.seed)
             dim = 512  # SGN c4 head width
             z_prior = jrandom.normal(key, (num_class, dim))
@@ -327,7 +329,7 @@ class Trainer:
             metrics = {}
             if use_mmd and aux is not None and "z" in aux:
                 z = aux["z"]
-                prior = z_prior
+                prior = aux.get("z_prior", z_prior)
                 if prior.shape[-1] != z.shape[-1]:
                     reps = -(-z.shape[-1] // prior.shape[-1])
                     prior = jnp.tile(prior, (1, reps))[:, : z.shape[-1]]
@@ -350,20 +352,28 @@ class Trainer:
                 dist_z = (dist * off).sum() / denom
                 metrics.update(mmd=mmd, l2_z_mean=l2z, cos_z=cos_z,
                                dist_z=dist_z)
+                # prior diagnostics (reference processor.py:575,580-581)
+                pn = prior / jnp.maximum(jnp.linalg.norm(
+                    prior, axis=-1, keepdims=True), 1e-9)
+                pcos = pn @ pn.T
+                poff = 1.0 - jnp.eye(prior.shape[0], dtype=prior.dtype)
+                pdenom = jnp.maximum(poff.sum(), 1.0)
+                metrics.update(
+                    cos_z_prior=(pcos * poff).sum() / pdenom,
+                    dist_z_prior=(jnp.linalg.norm(
+                        prior[:, None] - prior[None], axis=-1)
+                        * poff).sum() / pdenom)
             if use_fsim and aux is not None \
                     and len(aux.get("branch_outputs", [])) > 1:
-                outs = aux["branch_outputs"]
                 alphas = cfg.fsim_alpha if isinstance(
                     cfg.fsim_alpha, (list, tuple)) else [cfg.fsim_alpha]
-                idx = 0
-                fsim_total = 0.0
-                for i in range(len(outs)):
-                    for j in range(i + 1, len(outs)):
-                        a = alphas[min(idx, len(alphas) - 1)] \
-                            if alphas else 1.0
-                        fsim_total = fsim_total + a * L2.cosine_loss(
-                            outs[i], outs[j], mode=cfg.fsim_mode)
-                        idx += 1
+                # kernels per level = len(multi_t[-1])
+                # (reference processor.py:586-588)
+                multi_t = cfg.model_args.get("multi_t", [[], [], [3]])
+                kernels = len(multi_t[-1]) if multi_t else 1
+                fsim_total = L2.fsim_pair_loss(
+                    aux["branch_outputs"], alphas, kernels,
+                    mode=cfg.fsim_mode)
                 total = total + fsim_total
                 metrics.update(fsim=fsim_total)
             return total, metrics
@@ -396,7 +406,9 @@ class Trainer:
         self._train_step_frozen = compile_step(frozen_step) \
             if cfg.only_train_part else self._train_step
         crops = getattr(self, "multi_test", 1)
-        eval_step = make_eval_step(loss_fn, multi_crop=crops)
+        self._eval_aux = aux_loss_fn
+        eval_step = make_eval_step(loss_fn, multi_crop=crops,
+                                   aux_loss_fn=aux_loss_fn)
         # eval shards over the data axis too when the fixed (padded)
         # eval batch divides evenly; otherwise single-program eval
         self._eval_rows = cfg.test_batch_size * max(crops, 1)
@@ -511,6 +523,7 @@ class Trainer:
         loader = self.loaders["val"]
         ds = self.datasets["val"]
         scores = []
+        aux_metrics = []
         t0 = time.time()
         crops = max(getattr(self, "multi_test", 1), 1)
         full = self._eval_rows  # fixed compiled batch shape (rows)
@@ -531,7 +544,14 @@ class Trainer:
                 xb = shard_batch(self.mesh, x)
             else:
                 xb = jnp.asarray(x)
-            logits, _ = self._eval_step(self.state, xb, None)
+            if self._eval_aux is not None and n_real == full:
+                # aux (MMD on crop-averaged z, processor.py:563-567)
+                # eval metrics on full batches
+                yb = jnp.asarray(np.asarray(y)[::crops])
+                logits, m = self._eval_step(self.state, xb, yb)
+                aux_metrics.append({k: float(v) for k, v in m.items()})
+            else:
+                logits, _ = self._eval_step(self.state, xb, None)
             scores.append(np.asarray(logits)[: n_real // crops])
         score = np.concatenate(scores, axis=0)[: len(ds)]
         accs = {k: ds.top_k(score, k) for k in cfg.show_topk}
@@ -541,8 +561,15 @@ class Trainer:
             self.best_epoch = epoch
         msg = ", ".join(f"top-{k}: {v:.4f}" for k, v in accs.items())
         self.print_log(f"eval epoch {epoch}: {msg} ({dt:.1f}s)")
+        aux_means = {}
+        if aux_metrics:
+            aux_means = {k: float(np.mean([m[k] for m in aux_metrics]))
+                         for k in aux_metrics[0]}
+            self.print_log("eval aux: " + ", ".join(
+                f"{k} {v:.4f}" for k, v in aux_means.items()))
         self.log_metrics(kind="eval", epoch=epoch, seconds=dt,
-                         **{f"top{k}": v for k, v in accs.items()})
+                         **{f"top{k}": v for k, v in accs.items()},
+                         **aux_means)
         if self.val_writer is not None:
             for k, v in accs.items():
                 self.val_writer.add_scalar(f"val/top{k}", v,
