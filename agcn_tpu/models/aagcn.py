@@ -89,6 +89,7 @@ class AdaptiveGCN(nn.Module):
     adj: Any  # (K, V, V) initial value for PA
     dtype: Optional[jnp.dtype] = None
     formulation: str = "agg_packed"  # ops/gcn.apply_gcn
+    edge_mesh: Any = None  # Mesh with 'edge' axis: in-model edge partition
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -143,13 +144,22 @@ class AdaptiveGCN(nn.Module):
         a1 = pa[None].astype(att.dtype) + att * alpha.astype(att.dtype)
 
         out_b = sum(b_d)
-        # training: 'agg' fuses best in the full step; inference:
-        # project-first forward is 2.6x faster (ops/gcn.apply_gcn)
-        form = self.formulation if train else "pf"
         w_stack = jnp.stack(k_d)  # (K, C, Co)
         if self.dtype is not None:
             w_stack = w_stack.astype(self.dtype)
             out_b = out_b.astype(self.dtype)
+        if self.edge_mesh is not None \
+                and self.edge_mesh.shape.get("edge", 1) > 1:
+            # north-star path: adjacency subsets partitioned over the
+            # 'edge' mesh axis, partials combined by an overlapped
+            # time-chunked ring (parallel/edge_partition.model_edge_gcn)
+            from agcn_tpu.parallel.edge_partition import model_edge_gcn
+
+            return model_edge_gcn(compute, a1, w_stack,
+                                  self.edge_mesh) + out_b
+        # training: 'agg' fuses best in the full step; inference:
+        # project-first forward is 2.6x faster (ops/gcn.apply_gcn)
+        form = self.formulation if train else "pf"
         return gcn_ops.apply_gcn(compute, a1, w_stack, form) + out_b
 
 
@@ -201,6 +211,7 @@ class GCNUnit(nn.Module):
     sync_axis: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
     formulation: str = "agg_packed"
+    edge_mesh: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
@@ -210,6 +221,7 @@ class GCNUnit(nn.Module):
         if self.adaptive:
             y = gcn_cls(self.out_channels, inter_c, self.adj,
                         dtype=self.dtype, formulation=self.formulation,
+                        edge_mesh=self.edge_mesh,
                         name="agcn")(x, train)
         else:
             y = gcn_cls(self.out_channels, inter_c, self.adj,
@@ -269,6 +281,7 @@ class TCNGCNUnit(nn.Module):
     sync_axis: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
     formulation: str = "agg_packed"
+    edge_mesh: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
@@ -277,6 +290,7 @@ class TCNGCNUnit(nn.Module):
                     attention=self.attention, gbn_split=self.gbn_split,
                     sync_axis=self.sync_axis, dtype=self.dtype,
                     formulation=self.formulation,
+                    edge_mesh=self.edge_mesh,
                     name="gcn1")(x, train)
         y = TCNUnit(self.out_channels, kernel_size=self.kernel_size,
                     stride=self.stride, pad=self.pad,
@@ -370,6 +384,7 @@ class AAGCN(nn.Module):
     formulation: str = "agg_packed"  # GCN formulation (ops/gcn.apply_gcn)
     sync_axis: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
+    edge_mesh: Any = None  # Mesh with 'edge' axis: in-model edge partition
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False):
@@ -406,6 +421,7 @@ class AAGCN(nn.Module):
                            pad=self.pad if pad is None else pad,
                            gbn_split=self.gbn_split,
                            formulation=self.formulation,
+                           edge_mesh=self.edge_mesh,
                            sync_axis=self.sync_axis, dtype=self.dtype,
                            name=name)(x, train)
             last_c = ch

@@ -51,7 +51,7 @@ _ALIASES = {
 }
 
 
-def _build_agcn(model_args: Dict[str, Any], cls):
+def _build_agcn(model_args: Dict[str, Any], cls, edge_mesh=None):
     args = dict(model_args)
     graph = args.pop("graph", "ntu_rgb_d")
     graph_args = args.pop("graph_args", {})
@@ -60,6 +60,13 @@ def _build_agcn(model_args: Dict[str, Any], cls):
     args.pop("num_subset", None)
     if "drop_out" in args and cls is not AAGCN:
         args.pop("drop_out")
+    if edge_mesh is not None:
+        if cls in (AGCN, AAGCN):
+            args["edge_mesh"] = edge_mesh
+        else:
+            raise ValueError(
+                f"mesh_edge > 1 requires a model with in-model edge "
+                f"partitioning (agcn/aagcn); got {cls.__name__}")
     return cls(adj=adj, **args)
 
 
@@ -72,14 +79,15 @@ def import_class(name: str):
     return getattr(importlib.import_module(module), attr)
 
 
-def build_model(name: str, model_args: Dict[str, Any]):
+def build_model(name: str, model_args: Dict[str, Any],
+                edge_mesh=None):
     key = _ALIASES.get(name, name).lower()
     if key == "agcn":
-        return _build_agcn(model_args, AGCN)
+        return _build_agcn(model_args, AGCN, edge_mesh)
     if key == "aagcn":
-        return _build_agcn(model_args, AAGCN)
+        return _build_agcn(model_args, AAGCN, edge_mesh)
     if key == "aagcn_transformer":
-        return _build_agcn(model_args, AAGCNTransformer)
+        return _build_agcn(model_args, AAGCNTransformer, edge_mesh)
     if key in ("aagcn_v17", "aagcn_v24", "aagcn_v30", "aagcn_v31",
                "aagcn_v32", "aagcn_v34"):
         from agcn_tpu.models.aagcn_versions import (AAGCNv17, AAGCNv24,
@@ -92,7 +100,7 @@ def build_model(name: str, model_args: Dict[str, Any]):
         cls = {"aagcn_v17": AAGCNv17, "aagcn_v24": AAGCNv24,
                "aagcn_v30": AAGCNv30, "aagcn_v31": AAGCNv31,
                "aagcn_v34": AAGCNv34}[key]
-        return _build_agcn(model_args, cls)
+        return _build_agcn(model_args, cls, edge_mesh)
     if key == "sgn_transformer":
         args = dict(model_args)
         if "bias" in args:

