@@ -354,9 +354,12 @@ class GCNSpatialGTScalar(nn.Module):
 
 
 class GCNSpatialGTMap(nn.Module):
-    """GT modes 5/6: per-frame attention plus an MLP over the flattened
-    attention maps whose output joins the prediction branches
-    (blocks/spatial.py GCNSpatialGT5 :223-306, GT6 :309-375)."""
+    """GT modes 5/6 (blocks/spatial.py GCNSpatialGT5 :547-632, GT6
+    :633-700): per-frame attention G plus a second output g3 built from
+    the flattened attention maps added to a one-hot temporal embedding.
+    GT5 pushes the sum through an MLPTemporal head ([V*V]+[out2]*idx
+    channels, spatial.py:585-595); GT6 returns the raw sum (the model
+    gives it its own temporal branch, sgn_v14.py:584-588,955-956)."""
 
     proj_dim: int
     gt_mode: int = 5
@@ -364,7 +367,7 @@ class GCNSpatialGTMap(nn.Module):
     use_bias: bool = True
     proj_shared: bool = False
     activation: str = "softmax"
-    gt_activation: int = 1
+    gt_activation: int = 1     # accepted-but-unused, as in the reference
     g3_idx: int = 2
 
     @nn.compact
@@ -377,20 +380,29 @@ class GCNSpatialGTMap(nn.Module):
         g12 = jax.nn.softmax(logits, axis=-1) \
             if self.activation == "softmax" else jax.nn.sigmoid(logits)
 
-        # MLP over flattened attention maps along time
+        # flattened maps (B, T, 1, V*V): channel (i, j) == reference's
+        # rearrange 'n t i j -> n (i j) t' (spatial.py:624-626)
         maps = g12.reshape(b, t, 1, v * v)
-        out_ch = v * v if self.gt_mode == 6 else self.out_channels2
-        y = maps
-        for i in range(self.g3_idx - 1):
-            y = ConvNormAct(v * v, kernel_size=3, padding=1,
-                            use_bias=self.use_bias, use_norm=True,
-                            name=f"g3_cnn{i + 1}")(y, train)
-        y = TConv(out_ch, use_bias=self.use_bias,
-                  name=f"g3_cnn{self.g3_idx}")(y)
-        if self.gt_activation == 2:
-            y = jax.nn.sigmoid(y)
+        # one-hot temporal embedding: Embedding(T -> V*V, mode=1) of
+        # eye(T) (spatial.py:602-613, OneHotTensor mode=1)
+        onehot = jnp.broadcast_to(
+            jnp.eye(t, dtype=x.dtype)[None, :, None, :], (b, t, 1, t))
+        tem = SGNEmbedding(v * v, mode=1, use_bias=self.use_bias,
+                           name="tem_embedding")(onehot, train)
+        y = maps + tem
+        if self.gt_mode == 5:
+            # MLPTemporal head: channels [V*V] + [out2]*idx, kernels
+            # [3]*(idx-1) + [1]; each layer conv -> BN -> ReLU, with
+            # Dropout2d (p=0.5) only after the first (temporal.py:99-161)
+            for i in range(self.g3_idx):
+                k = 3 if i < self.g3_idx - 1 else 1
+                y = ConvNormAct(self.out_channels2, kernel_size=k,
+                                padding=k // 2, use_bias=self.use_bias,
+                                use_norm=True,
+                                dropout=0.5 if i == 0 else 0.0,
+                                name=f"g3_cnn{i + 1}")(y, train)
         self.param("alpha", nn.initializers.zeros, (1,))
-        return g12, y  # y: (B, T, 1, out_ch)
+        return g12, y  # y: (B, T, 1, out_channels2 | V*V)
 
 
 class GCNSpatialUnit(nn.Module):

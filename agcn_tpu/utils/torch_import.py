@@ -238,6 +238,23 @@ def sgn_variables_from_torch(sd: Mapping[str, Any]) -> Dict[str, Dict]:
             if f"sgcn.gcn_g{i}.g3.bias" in sd:
                 _set(tree["params"], ("sgcn", f"g{i}", "g3", "bias"),
                      sd[f"sgcn.gcn_g{i}.g3.bias"])
+        if f"sgcn.gcn_g{i}.tem_embedding.cnn1.block.conv.conv.weight" in sd:
+            # GT5/GT6 (blocks/spatial.py:547-700): one-hot temporal
+            # Embedding + (GT5 only) MLPTemporal over the V*V-flattened
+            # attention maps. Map channels are (i, j) attention indices —
+            # same flattening order on both sides, so no cv_to_vc.
+            embedding(f"sgcn.gcn_g{i}.tem_embedding",
+                      ("sgcn", f"g{i}", "tem_embedding"))
+            li = 1
+            while f"sgcn.gcn_g{i}.g3.cnn{li}.block.conv.conv.weight" in sd:
+                conv_block(f"sgcn.gcn_g{i}.g3.cnn{li}",
+                           ("sgcn", f"g{i}", f"g3_cnn{li}"))
+                li += 1
+            if f"sgcn.gcn_g{i}.alpha" in sd:
+                _set(tree["params"], ("sgcn", f"g{i}", "alpha"),
+                     sd[f"sgcn.gcn_g{i}.alpha"])
+            i += 1
+            continue
         # GT3/GT4: per-frame scalar MLPTemporal over (c*v) features
         li = 1
         while f"sgcn.gcn_g{i}.g3.cnn{li}.block.conv.conv.weight" in sd:

@@ -93,6 +93,8 @@ def _ours_from(kwargs):
         sgcn_g_proj_shared=kwargs["sgcn_g_proj_shared"],
         sgcn_gt_mode=kwargs.get("sgcn_gt_mode", 1),
         sgcn_gt_act=kwargs.get("sgcn_gt_act", 1),
+        sgcn_gt_g3_idx=kwargs.get("sgcn_gt_g3_idx", 2),
+        sgcn_gt_out_channels2=kwargs.get("sgcn_gt_out_channels2", 512),
         spatial_maxpool=kwargs["spatial_maxpool"],
         temporal_maxpool=kwargs["temporal_maxpool"],
         multi_t=tuple(tuple(t) for t in kwargs["multi_t"]),
@@ -111,6 +113,9 @@ def _ours_from(kwargs):
     dict(sgcn_gt_mode=2),
     dict(sgcn_gt_mode=3),
     dict(sgcn_gt_mode=4, sgcn_gt_act=2),
+    dict(sgcn_gt_mode=5),
+    dict(sgcn_gt_mode=5, sgcn_gt_g3_idx=3),
+    dict(sgcn_gt_mode=6, multi_t=[[], [], [3], [3]]),
 ])
 def test_parity_vs_torch_reference(overrides):
     import torch
