@@ -945,12 +945,6 @@ class SGN(nn.Module):
             # default: only the last level feeds the temporal module
             feats = [None] * (len(x_list) - 1) + [x_list[-1]]
 
-        if self.sgcn_gt_mode == 6:
-            # attention-map feature level gets its own temporal branch
-            # (sgn_v14.py:584-588, forward :955-956); multi_t must carry
-            # one extra entry
-            feats = feats + [g_list[0][1]]
-
         if tem_emb is not None and self.semantic_frame_location == 0:
             # add the frame embedding wherever the channel widths agree
             # (FPN modes that change widths skip incompatible levels,
@@ -1010,6 +1004,13 @@ class SGN(nn.Module):
                 jnp.concatenate([f for f in feats if f is not None],
                                 axis=-1)]
 
+        if self.sgcn_gt_mode == 6:
+            # attention-map feature level gets its own temporal branch;
+            # appended AFTER smp and the fpn-4/5 concat so it bypasses
+            # both, exactly like the reference (sgn_v14.py forward
+            # :950-956); multi_t must carry one extra entry
+            feats = feats + [g_list[0][1]]
+
         # temporal branches ---------------------------------------------
         outs: List[jnp.ndarray] = []
         shared_names = {}
@@ -1050,12 +1051,14 @@ class SGN(nn.Module):
                 outs.extend(branch(feats[i], train))
         if self.sgcn_gt_mode == 5:
             # attention-map head joins the prediction branches
-            # (sgn_v14.py forward :988-989)
-            outs.append(jnp.broadcast_to(
-                g_list[0][1],
-                g_list[0][1].shape[:-1] + (outs[0].shape[-1],))
-                if g_list[0][1].shape[-1] != outs[0].shape[-1]
-                else g_list[0][1])
+            # (sgn_v14.py forward :988-989); like the reference, the head
+            # width (gt_out_channels2) must equal the temporal width
+            if outs and g_list[0][1].shape[-1] != outs[0].shape[-1]:
+                raise ValueError(
+                    f"gt_mode 5 needs sgcn_gt_out_channels2 == temporal "
+                    f"output width ({g_list[0][1].shape[-1]} vs "
+                    f"{outs[0].shape[-1]})")
+            outs.append(g_list[0][1])
         y = jnp.mean(jnp.stack(outs, 0), 0) if len(outs) > 1 else outs[0]
 
         # temporal pooling + classifier ---------------------------------

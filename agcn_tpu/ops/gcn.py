@@ -196,6 +196,20 @@ def adaptive_gcn_agg_packed2(x, a1, w):
     return z @ w.reshape(k * c, -1)
 
 
+def adaptive_gcn_agg_dp(x, a1, w):
+    """agg_packed aggregation, but the projection contracts the packed
+    (c, k) axes of z DIRECTLY via dot_general — no explicit
+    (b,t,c,k,v) -> (b,t,v,k*c) transpose between the two GEMMs (the
+    dominant layout-copy bucket in the round-3 profile)."""
+    b, t, v, c = x.shape
+    k = a1.shape[1]
+    x2 = jnp.transpose(x, (0, 1, 3, 2)).reshape(b, t * c, v)
+    a2 = jnp.transpose(a1, (0, 2, 1, 3)).reshape(b, v, k * v)
+    z = jnp.einsum("bmv,bvn->bmn", x2, a2)  # (B, T*C, K*V)
+    z = z.reshape(b, t, c, k, v)
+    return jnp.einsum("btckv,kco->btvo", z, w)
+
+
 def apply_gcn(x: jnp.ndarray, a1: jnp.ndarray, w: jnp.ndarray,
               formulation: str = "agg") -> jnp.ndarray:
     """Dispatch between GCN formulations. Full-train-step ranking on TPU
@@ -217,6 +231,8 @@ def apply_gcn(x: jnp.ndarray, a1: jnp.ndarray, w: jnp.ndarray,
         return adaptive_gcn_agg_packed(x, a1, w)
     if formulation == "agg_packed2":
         return adaptive_gcn_agg_packed2(x, a1, w)
+    if formulation == "agg_dp":
+        return adaptive_gcn_agg_dp(x, a1, w)
     raise ValueError(f"unknown GCN formulation {formulation!r}")
 
 
