@@ -44,6 +44,7 @@ class UnitGCN(nn.Module):
     dtype: Optional[jnp.dtype] = None
     use_pallas: bool = False
     formulation: str = "agg_packed"  # 'pf' | 'custom' | 'agg' (ops/gcn.apply_gcn)
+    attn_form: str = "transposed"    # ops/gcn.attention_logits
     edge_mesh: Any = None  # Mesh with 'edge' axis: in-model edge partition
 
     @nn.compact
@@ -83,21 +84,12 @@ class UnitGCN(nn.Module):
             emb_w = emb_w.astype(self.dtype)
             emb_b = emb_b.astype(self.dtype)
         emb = compute @ emb_w + emb_b  # (B, T, V, 2*K*Ce)
-        b, t, v, _ = emb.shape
-        emb = emb.reshape(b, t, v, 2, num_subset, inter_c)
-        theta, phi = emb[..., 0, :, :], emb[..., 1, :, :]
-
         # per-subset attention: softmax over the source joint axis
-        # (agcn.py:99-101; divisor Ce * T)
-        # transposed batched-matmul formulation: pack (T, Ce) into one
-        # contraction axis per (B, K) batch element — ~30x faster than the
-        # naive einsum lowering on TPU (PERF.md round 2,
-        # tools/bench_attn_forms.py)
-        th = jnp.transpose(theta, (0, 3, 2, 1, 4)).reshape(
-            b, num_subset, v, t * inter_c)
-        ph = jnp.transpose(phi, (0, 3, 2, 1, 4)).reshape(
-            b, num_subset, v, t * inter_c)
-        logits = jnp.einsum("bkvx,bkwx->bkvw", th, ph) / (inter_c * t)
+        # (agcn.py:99-101; divisor Ce * T). Default 'transposed' packs
+        # (T, Ce) per (B, K) batch element — ~30x faster than the naive
+        # einsum lowering on TPU (PERF.md round 2)
+        logits = gcn_ops.attention_logits(emb, num_subset, inter_c,
+                                          self.attn_form)
         # softmax in fp32 for bf16 stability, result back in compute dtype
         att = jax.nn.softmax(logits.astype(jnp.float32), axis=-2)
         att = att.astype(compute.dtype)  # (B, K, V, V)
@@ -178,6 +170,7 @@ class STGCNBlock(nn.Module):
     dtype: Optional[jnp.dtype] = None
     use_pallas: bool = False
     formulation: str = "agg_packed"
+    attn_form: str = "transposed"
     edge_mesh: Any = None
 
     @nn.compact
@@ -186,6 +179,7 @@ class STGCNBlock(nn.Module):
         y = UnitGCN(self.out_channels, self.adj, sync_axis=self.sync_axis,
                     dtype=self.dtype, use_pallas=self.use_pallas,
                     formulation=self.formulation,
+                    attn_form=self.attn_form,
                     edge_mesh=self.edge_mesh,
                     name="gcn1")(x, train)
         y = UnitTCN(self.out_channels, stride=self.stride,
@@ -219,6 +213,7 @@ class _ScanBlockBody(nn.Module):
     dtype: Optional[jnp.dtype] = None
     use_pallas: bool = False
     formulation: str = "agg_packed"
+    attn_form: str = "transposed"
     edge_mesh: Any = None
 
     @nn.compact
@@ -227,6 +222,7 @@ class _ScanBlockBody(nn.Module):
                        sync_axis=self.sync_axis, dtype=self.dtype,
                        use_pallas=self.use_pallas,
                        formulation=self.formulation,
+                       attn_form=self.attn_form,
                        edge_mesh=self.edge_mesh,
                        name="block")(carry, train)
         return y, None
@@ -265,6 +261,7 @@ class AGCN(nn.Module):
     dtype: Optional[jnp.dtype] = None
     use_pallas: bool = False
     formulation: str = "agg_packed"  # GCN formulation (ops/gcn.apply_gcn)
+    attn_form: str = "transposed"    # logits form (ops/gcn.attention_logits)
     edge_mesh: Any = None  # Mesh with 'edge' axis: in-model edge partition
     remat: bool = False  # rematerialize blocks: trade FLOPs for HBM
     scan_blocks: bool = False  # scan homogeneous block groups (fast compile)
@@ -286,6 +283,7 @@ class AGCN(nn.Module):
         common = dict(sync_axis=self.sync_axis, dtype=self.dtype,
                       use_pallas=self.use_pallas,
                       formulation=self.formulation,
+                      attn_form=self.attn_form,
                       edge_mesh=self.edge_mesh)
         if self.scan_blocks:
             # l1 / scan(l2-l4) / l5 / scan(l6-l7) / l8 / scan(l9-l10)

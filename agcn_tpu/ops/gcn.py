@@ -210,6 +210,71 @@ def adaptive_gcn_agg_dp(x, a1, w):
     return jnp.einsum("btckv,kco->btvo", z, w)
 
 
+def attention_logits(emb: jnp.ndarray, num_subset: int, inter_c: int,
+                     form: str = "transposed") -> jnp.ndarray:
+    """Per-subset embedding-attention logits from the fused theta|phi
+    embedding GEMM output (reference agcn.py:99-101 semantics: divisor
+    Ce * T; softmax applied by the caller).
+
+    Args:
+      emb: (B, T, V, 2*K*Ce) — [theta_0..theta_{K-1}, phi_0..phi_{K-1}].
+    Returns:
+      (B, K, V, V) scaled logits.
+    """
+    b, t, v, _ = emb.shape
+    k, ce = num_subset, inter_c
+    e = emb.reshape(b, t, v, 2, k, ce)
+    if form == "transposed":
+        # round-2 winner: pack (T, Ce) per (B, K) batch element
+        theta, phi = e[..., 0, :, :], e[..., 1, :, :]
+        th = jnp.transpose(theta, (0, 3, 2, 1, 4)).reshape(b, k, v, t * ce)
+        ph = jnp.transpose(phi, (0, 3, 2, 1, 4)).reshape(b, k, v, t * ce)
+        return jnp.einsum("bkvx,bkwx->bkvw", th, ph) / (ce * t)
+    if form == "onepack":
+        # ONE transpose of the combined tensor; theta/phi become
+        # leading-axis views
+        e2 = jnp.transpose(e, (0, 3, 4, 2, 1, 5)).reshape(
+            b, 2, k, v, t * ce)
+        return jnp.einsum("bkvx,bkwx->bkvw", e2[:, 0], e2[:, 1]) / (ce * t)
+    if form == "blockdiag":
+        # one (K*V, K*V) bilinear GEMM, take the K block diagonal
+        # (round-2 exploration, now with backward via the same path)
+        e2 = jnp.transpose(e, (0, 3, 4, 2, 1, 5)).reshape(
+            b, 2, k * v, t * ce)
+        big = jnp.einsum("bux,bwx->buw", e2[:, 0], e2[:, 1])
+        diag = jnp.einsum("bkvkw->bkvw", big.reshape(b, k, v, k, v))
+        return diag / (ce * t)
+    if form == "naive":
+        theta, phi = e[..., 0, :, :], e[..., 1, :, :]
+        return jnp.einsum("btvkc,btwkc->bkvw", theta, phi) / (ce * t)
+    raise ValueError(f"unknown attention form {form!r}")
+
+
+def adaptive_gcn_fused_dyn(x, a1, w):
+    """Fold the K-subset aggregate+project into ONE per-sample
+    (V*Cin, V*Cout) operator — the dynamic-adjacency analogue of
+    `fused_static_operator`:
+
+      y[b,t,(w,o)] = x[b,t,(v,c)] @ M[b],
+      M[b][(v,c),(w,o)] = sum_k a1[b,k,v,w] * w[k,c,o]
+
+    x reshapes (B,T,V,C) -> (B,T,V*C) for FREE (v,c are adjacent), the
+    output reshapes back for free, and the GEMM contracts V*C (>= 128)
+    instead of V=25 — no layout transposes and no sublane padding, at
+    the price of (C*Co/ (K*C + ...)) extra FLOPs. Wins for small C;
+    dispatch via 'hybrid'."""
+    b, t, v, c = x.shape
+    k, _, co = w.shape
+    op = jnp.einsum("bkvw,kco->bvcwo", a1, w).reshape(b, v * c, v * co)
+    y = jnp.einsum("btm,bmn->btn", x.reshape(b, t, v * c), op)
+    return y.reshape(b, t, v, co)
+
+
+# hybrid dispatch: fused_dyn's operator is (V*C, V*Co) per sample; cap
+# its footprint so the big-channel blocks keep the packed two-GEMM form
+_FUSED_DYN_MAX_OPERATOR = 1600 * 1600
+
+
 def apply_gcn(x: jnp.ndarray, a1: jnp.ndarray, w: jnp.ndarray,
               formulation: str = "agg") -> jnp.ndarray:
     """Dispatch between GCN formulations. Full-train-step ranking on TPU
@@ -233,6 +298,14 @@ def apply_gcn(x: jnp.ndarray, a1: jnp.ndarray, w: jnp.ndarray,
         return adaptive_gcn_agg_packed2(x, a1, w)
     if formulation == "agg_dp":
         return adaptive_gcn_agg_dp(x, a1, w)
+    if formulation == "fused_dyn":
+        return adaptive_gcn_fused_dyn(x, a1, w)
+    if formulation == "hybrid":
+        v, c = x.shape[-2], x.shape[-1]
+        co = w.shape[-1]
+        if (v * c) * (v * co) <= _FUSED_DYN_MAX_OPERATOR:
+            return adaptive_gcn_fused_dyn(x, a1, w)
+        return adaptive_gcn_agg_packed(x, a1, w)
     raise ValueError(f"unknown GCN formulation {formulation!r}")
 
 

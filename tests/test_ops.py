@@ -56,3 +56,41 @@ def test_fused_static_operator_equivalence():
                         np.asarray(adj[k])) @ np.asarray(w[k])
               for k in range(3))
     np.testing.assert_allclose(np.asarray(out), ref, atol=1e-4)
+
+
+def test_attention_logits_forms_agree():
+    """All attention_logits formulations are numerically equivalent
+    (ops/gcn.attention_logits; semantics: reference agcn.py:99-101)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from agcn_tpu.ops import gcn as gcn_ops
+
+    rng = np.random.default_rng(3)
+    b, t, v, k, ce = 2, 12, 25, 3, 8
+    emb = jnp.asarray(rng.standard_normal((b, t, v, 2 * k * ce)),
+                      jnp.float32)
+    ref = gcn_ops.attention_logits(emb, k, ce, "naive")
+    for form in ("transposed", "onepack", "blockdiag"):
+        got = gcn_ops.attention_logits(emb, k, ce, form)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-5, rtol=1e-5, err_msg=form)
+
+
+def test_gcn_formulations_agree():
+    """All apply_gcn formulations match the reference aggregate-project."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from agcn_tpu.ops import gcn as gcn_ops
+
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.standard_normal((2, 8, 25, 16)), jnp.float32)
+    a1 = jnp.asarray(rng.standard_normal((2, 3, 25, 25)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((3, 16, 10)), jnp.float32)
+    ref = gcn_ops.apply_gcn(x, a1, w, "agg")
+    for form in ("pf", "custom", "pf_packed", "agg_packed", "agg_packed2",
+                 "agg_dp", "fused_dyn", "hybrid"):
+        got = gcn_ops.apply_gcn(x, a1, w, form)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-3, rtol=1e-4, err_msg=form)

@@ -26,10 +26,11 @@ from agcn_tpu.train import TrainState, losses, make_train_step, optim
 BATCH, C, T, V, M, NUM_CLASS = 64, 3, 300, 25, 2, 60
 
 
-def bench(formulation: str, steps: int = 20) -> float:
+def bench(formulation: str, attn_form: str = "transposed",
+          steps: int = 20) -> float:
     adj = build_adjacency("ntu_rgb_d")
     model = AGCN(num_class=NUM_CLASS, adj=adj, dtype=jnp.bfloat16,
-                 formulation=formulation)
+                 formulation=formulation, attn_form=attn_form)
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal((BATCH, C, T, V, M)), jnp.float32)
     y = jnp.asarray(rng.integers(0, NUM_CLASS, (BATCH,)))
@@ -51,6 +52,9 @@ def bench(formulation: str, steps: int = 20) -> float:
 
 
 if __name__ == "__main__":
+    # spec: "<gcn_form>" or "<gcn_form>:<attn_form>"
     forms = sys.argv[1:] or ["pf", "custom", "agg"]
-    for f in forms:
-        print(f"{f}: {bench(f):.1f} seq/s", flush=True)
+    for spec in forms:
+        f, _, a = spec.partition(":")
+        a = a or "transposed"
+        print(f"{spec}: {bench(f, a):.1f} seq/s", flush=True)
