@@ -45,7 +45,8 @@ class ActionRecognition:
                  normalize: bool = True,
                  multi_test: int = 1,
                  allowed_classes: Optional[Sequence[int]] = None,
-                 sgn_dataloader_args: Optional[Dict] = None):
+                 sgn_dataloader_args: Optional[Dict] = None,
+                 expose_attention: bool = False):
         self.kind = kind
         self.num_skels = num_skels
         self.normalize = normalize
@@ -60,8 +61,16 @@ class ActionRecognition:
             max_person=max_person, moving_avg=moving_avg,
             sgn_sampler=sampler)
         self.variables = variables
-        self._forward = jax.jit(
-            lambda v, x: model.apply(v, x, train=False))
+        self.expose_attention = expose_attention
+        if expose_attention:
+            # collect the per-block combined adjacencies sown as
+            # 'intermediates' (UnitGCN/AdaptiveGCN 'g')
+            self._forward = jax.jit(
+                lambda v, x: model.apply(v, x, train=False,
+                                         mutable=["intermediates"]))
+        else:
+            self._forward = jax.jit(
+                lambda v, x: model.apply(v, x, train=False))
         self.rng = np.random.default_rng(0)
         self.last_latency_ms = 0.0
         self.last_attention = None  # G matrices from the last predict
@@ -82,6 +91,15 @@ class ActionRecognition:
             x = self.preproc.dense_input(self.num_skels,
                                          normalize=self.normalize)
         out = self._forward(self.variables, jnp.asarray(x))
+        if self.expose_attention:
+            out, inter = out
+            gs = [np.asarray(leaf[0] if isinstance(leaf, tuple) else leaf)
+                  for leaf in jax.tree_util.tree_leaves(
+                      inter.get("intermediates", {}))]
+            if gs:
+                # (B, K, V, V) per block -> first sample, first subset
+                self.last_attention = [g[0] if g.ndim == 4 else g
+                                       for g in gs]
         if isinstance(out, tuple):
             logits = np.asarray(out[0])
             aux = out[1]

@@ -142,6 +142,8 @@ class AdaptiveGCN(nn.Module):
         att = jax.nn.softmax(logits.astype(jnp.float32), axis=-2)
         att = att.astype(compute.dtype)  # (B, K, V, V)
         a1 = pa[None].astype(att.dtype) + att * alpha.astype(att.dtype)
+        # live-demo visualization hook (see models/agcn.py UnitGCN)
+        self.sow("intermediates", "g", a1)
 
         out_b = sum(b_d)
         w_stack = jnp.stack(k_d)  # (K, C, Co)

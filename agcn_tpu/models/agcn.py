@@ -94,6 +94,10 @@ class UnitGCN(nn.Module):
         att = jax.nn.softmax(logits.astype(jnp.float32), axis=-2)
         att = att.astype(compute.dtype)  # (B, K, V, V)
         a1 = att + adj[None].astype(att.dtype)
+        # expose the combined adjacency for live-demo visualization
+        # (reference infer/inference_220802.py:518-560); only collected
+        # when callers apply with mutable=["intermediates"]
+        self.sow("intermediates", "g", a1)
 
         out_b = sum(b_d)
         if self.use_pallas:

@@ -1,14 +1,21 @@
 #!/usr/bin/env python
 """Streaming inference demo CLI.
 
-Parity target: reference infer/inference.py __main__ (:116-238): feed a
+Parity targets: reference infer/inference.py __main__ (:116-238) — feed a
 recorded skeleton sequence frame by frame through the ring-buffer
-recognizer and print per-frame predictions and latency.
+recognizer and print per-frame predictions and latency — plus the dated
+live-demo capabilities (infer/inference_220802.py): weight
+auto-discovery from a work dir (:168-189), a live loop over a directory
+of skeleton files as they appear (:518-560), and per-prediction G
+attention-matrix heatmaps.
 
 Usage:
     python infer.py --config configs/ntu60_xview/train_joint.yaml \
         --weights work_dir/.../checkpoints/epoch_50 \
         --input sample.skeleton --timing
+    # live: watch a directory, auto-discover newest checkpoint
+    python infer.py --config ... --weights-dir work_dir/ntu/xview/agcn \
+        --input recordings/ --follow --save-attention attn/
 """
 
 import argparse
@@ -38,11 +45,71 @@ def load_frames(path: str, num_joint: int):
         yield seq[:, t:t + 1]
 
 
+def discover_weights(work_dir: str) -> str:
+    """Newest checkpoint under a work dir (reference
+    inference_220802.py:168-189 auto-discovery). Checkpoints are
+    directories named <prefix>_<epoch> (Trainer.save_checkpoint) or
+    bare .npz files."""
+    cands = []
+    for root, dirs, files in os.walk(work_dir):
+        for d in dirs:
+            if d.rsplit("_", 1)[-1].isdigit():
+                path = os.path.join(root, d)
+                cands.append((os.path.getmtime(path), path))
+        for f in files:
+            if f.endswith(".npz"):
+                path = os.path.join(root, f)
+                cands.append((os.path.getmtime(path), path))
+    if not cands:
+        raise FileNotFoundError(f"no checkpoints under {work_dir}")
+    return sorted(cands)[-1][1]
+
+
+def iter_stream_files(path: str, follow: bool, poll_s: float = 0.5,
+                      max_idle_s: float = 10.0):
+    """Yield input files: a single file, or every file in a directory in
+    mtime order — with --follow, keep polling for NEW files (the live
+    demo loop, reference inference_220802.py:518-560)."""
+    import time as _t
+
+    if os.path.isfile(path):
+        yield path
+        return
+    seen = set()
+    idle = 0.0
+    while True:
+        entries = [os.path.join(path, f) for f in os.listdir(path)
+                   if f.endswith((".skeleton", ".npy"))]
+        fresh = sorted((os.path.getmtime(e), e) for e in entries
+                       if e not in seen)
+        for _, e in fresh:
+            seen.add(e)
+            idle = 0.0
+            yield e
+        if not follow:
+            return
+        if not fresh:
+            idle += poll_s
+            if idle >= max_idle_s:
+                return
+            _t.sleep(poll_s)
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--config", required=True)
-    p.add_argument("--weights", required=True)
-    p.add_argument("--input", required=True)
+    p.add_argument("--weights", default=None)
+    p.add_argument("--weights-dir", default=None,
+                   help="auto-discover the newest checkpoint under this "
+                        "work dir")
+    p.add_argument("--input", required=True,
+                   help="skeleton/npy file, or a directory of them")
+    p.add_argument("--follow", action="store_true",
+                   help="keep watching --input (a directory) for new "
+                        "files (live demo loop)")
+    p.add_argument("--save-attention", type=str, default=None,
+                   help="write per-prediction G attention heatmaps "
+                        "(png) into this directory")
     p.add_argument("--interval", type=int, default=10,
                    help="predict every N frames")
     p.add_argument("--timing", action="store_true")
@@ -64,7 +131,15 @@ def main(argv=None):
                    help="text file: one class name per line")
     p.add_argument("--out-folder", type=str, default=None,
                    help="write per-frame predictions to <dir>/results.txt")
+    p.add_argument("--device", type=str, default=None,
+                   help="cpu|tpu|gpu: JAX platform override (like main.py)")
     args = p.parse_args(argv)
+    if not args.weights and not args.weights_dir:
+        p.error("--weights or --weights-dir required")
+
+    import jax
+    if args.device and args.device.lower() in ("cpu", "tpu", "gpu"):
+        jax.config.update("jax_platforms", args.device.lower())
 
     from agcn_tpu.infer import ActionRecognition
     from agcn_tpu.models.registry import build_model
@@ -73,7 +148,8 @@ def main(argv=None):
 
     cfg = load_config(args.config)
     model = build_model(cfg.model, cfg.model_args)
-    ckpt = load_checkpoint(args.weights)
+    weights = args.weights or discover_weights(args.weights_dir)
+    ckpt = load_checkpoint(weights)
     variables = {"params": ckpt["params"],
                  "batch_stats": ckpt.get("batch_stats", {})}
 
@@ -91,7 +167,8 @@ def main(argv=None):
         allowed_classes=args.allowed_classes,
         multi_test=multi_test,
         sgn_dataloader_args=cfg.test_dataloader_args
-        if kind == "sgn" else None)
+        if kind == "sgn" else None,
+        expose_attention=bool(args.save_attention))
 
     labels = None
     if args.label_mapping_file:
@@ -102,19 +179,39 @@ def main(argv=None):
         os.makedirs(args.out_folder, exist_ok=True)
         out_f = open(os.path.join(args.out_folder, "results.txt"), "w")
 
+    if args.save_attention:
+        os.makedirs(args.save_attention, exist_ok=True)
+
     try:
-        for i, frame in enumerate(load_frames(args.input, num_joint)):
-            rec.append_frame(frame.astype(np.float32))
-            if (i + 1) % args.interval == 0:
-                label, probs = rec.predict()
-                name = labels[label] if labels and label < len(labels) \
-                    else str(label)
-                line = f"frame {i + 1}: class {name} p={probs[label]:.3f}"
-                if args.timing:
-                    line += f" ({rec.last_latency_ms:.1f} ms)"
-                print(line, flush=True)
-                if out_f:
-                    out_f.write(f"{i + 1},{label},{probs[label]:.6f}\n")
+        for src in iter_stream_files(args.input, args.follow):
+            tag = os.path.splitext(os.path.basename(src))[0]
+            if os.path.isdir(args.input):
+                print(f"== {src}", flush=True)
+            for i, frame in enumerate(load_frames(src, num_joint)):
+                rec.append_frame(frame.astype(np.float32))
+                if (i + 1) % args.interval == 0:
+                    label, probs = rec.predict()
+                    name = labels[label] if labels and label < len(labels) \
+                        else str(label)
+                    line = (f"frame {i + 1}: class {name} "
+                            f"p={probs[label]:.3f}")
+                    if args.timing:
+                        line += f" ({rec.last_latency_ms:.1f} ms)"
+                    print(line, flush=True)
+                    if out_f:
+                        out_f.write(
+                            f"{i + 1},{label},{probs[label]:.6f}\n")
+                    if args.save_attention and rec.last_attention:
+                        # per-prediction G heatmap (reference live demo
+                        # visualization, inference_220802.py:518-560)
+                        from agcn_tpu.utils.visualization import \
+                            plot_attention
+
+                        plot_attention(
+                            rec.last_attention[0],
+                            save_path=os.path.join(
+                                args.save_attention,
+                                f"{tag}_f{i + 1}_g0.png"))
     finally:
         if out_f:
             out_f.close()

@@ -1,7 +1,10 @@
 """Streaming inference tests: ring buffer semantics + end-to-end
 recognition for dense and SGN models."""
 
+import os
+
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -88,3 +91,47 @@ def test_sgn_recognizer_exposes_attention(tmp_path):
     out = tmp_path / "g.png"
     plot_attention(rec.last_attention[0][0], save_path=str(out))
     assert out.exists()
+
+
+def test_live_demo_surface(tmp_path):
+    """Dated live-demo capabilities (reference inference_220802.py):
+    weight auto-discovery, directory streaming, G attention exposure."""
+    import jax
+    import numpy as np
+
+    import infer as infer_cli
+    from agcn_tpu.graph import build_adjacency
+    from agcn_tpu.infer import ActionRecognition
+    from agcn_tpu.models import AGCN
+
+    # discovery: newest checkpoint-style dir wins
+    (tmp_path / "ck" / "epoch_1").mkdir(parents=True)
+    (tmp_path / "ck" / "epoch_2").mkdir()
+    os.utime(tmp_path / "ck" / "epoch_1", (1, 1))
+    assert infer_cli.discover_weights(str(tmp_path / "ck")).endswith(
+        "epoch_2")
+
+    # directory streaming yields files in mtime order
+    d = tmp_path / "stream"
+    d.mkdir()
+    np.save(d / "a.npy", np.zeros((1, 3, 4, 25, 2), np.float32))
+    np.save(d / "b.npy", np.zeros((1, 3, 4, 25, 2), np.float32))
+    os.utime(d / "b.npy", (2, 2))
+    os.utime(d / "a.npy", (5, 5))
+    got = [os.path.basename(p) for p in
+           infer_cli.iter_stream_files(str(d), follow=False)]
+    assert got == ["b.npy", "a.npy"]
+
+    # attention exposure through the recognizer (sown intermediates)
+    adj = build_adjacency("ntu_rgb_d")
+    model = AGCN(num_class=4, adj=adj)
+    x = np.zeros((2, 3, 8, 25, 2), np.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x),
+                           train=False)
+    rec = ActionRecognition(model, variables, kind="dense",
+                            max_seq_length=8, expose_attention=True)
+    for t in range(8):
+        rec.append_frame(np.zeros((2, 1, 25, 3), np.float32))
+    rec.predict()
+    assert rec.last_attention and len(rec.last_attention) == 10
+    assert rec.last_attention[0].shape == (3, 25, 25)
