@@ -36,17 +36,36 @@ def _unflatten(flat: Dict[tuple, np.ndarray]) -> Dict:
     return tree
 
 
-def save_checkpoint(path: str, tree: Dict[str, Any]):
-    """Save a checkpoint pytree; orbax if importable, else npz."""
+_async_ckptr = None  # module-level so in-flight saves survive the call
+
+
+def save_checkpoint(path: str, tree: Dict[str, Any],
+                    async_save: bool = False):
+    """Save a checkpoint pytree; orbax if importable, else npz.
+
+    With `async_save`, the orbax save commits in a background thread
+    (device->host transfer happens eagerly, serialization does not block
+    the train loop); call `wait_for_checkpoints()` before reading it
+    back or exiting.
+    """
+    global _async_ckptr
     try:
         import orbax.checkpoint as ocp
 
+        if async_save:
+            if _async_ckptr is None:
+                _async_ckptr = ocp.AsyncCheckpointer(
+                    ocp.StandardCheckpointHandler())
+            _async_ckptr.save(os.path.abspath(path), args=ocp.args.
+                              StandardSave(tree), force=True)
+            return
         ckptr = ocp.StandardCheckpointer()
         ckptr.save(os.path.abspath(path), tree, force=True)
         ckptr.wait_until_finished()
         return
     except Exception:
-        pass
+        if async_save:
+            raise
     flat = {}
     for section, sub in tree.items():
         if isinstance(sub, dict):
@@ -55,6 +74,12 @@ def save_checkpoint(path: str, tree: Dict[str, Any]):
         else:
             flat[section] = np.asarray(sub)
     np.savez(path + ".npz", **flat)
+
+
+def wait_for_checkpoints():
+    """Block until every async save has committed."""
+    if _async_ckptr is not None:
+        _async_ckptr.wait_until_finished()
 
 
 def load_checkpoint(path: str) -> Dict[str, Any]:

@@ -94,7 +94,7 @@ class Trainer:
         marker = os.path.join(self.work_dir, "log.txt")
         if (cfg.phase == "train" and os.path.exists(marker)
                 and cfg.start_epoch == 0 and not cfg.weights
-                and not cfg.assume_yes):
+                and not cfg.assume_yes and not cfg.auto_resume):
             raise RuntimeError(
                 f"work_dir {self.work_dir!r} already contains a run "
                 f"(log.txt present). Pass assume_yes=true to reuse it, "
@@ -282,8 +282,45 @@ class Trainer:
                                        self.batch_stats, self.tx)
         if cfg.weights:
             self._maybe_resume_opt_state(cfg.weights)
+        elif cfg.auto_resume and cfg.phase == "train":
+            self._auto_resume()
         if self.n_data_shards > 1:
             self.state = replicate_state(self.mesh, self.state)
+
+    def _auto_resume(self):
+        """Crash-resilient restart: pick up the newest checkpoint in this
+        work dir (params + batch_stats + opt state + epoch) without any
+        CLI plumbing. The reference has no elastic recovery (SURVEY
+        §5.3) — resume there is manual --start-epoch/--weights."""
+        from agcn_tpu.train.checkpoint import load_checkpoint, merge_params
+        ckpt_dir = os.path.join(self.work_dir, "checkpoints")
+        if not os.path.isdir(ckpt_dir):
+            return
+        cands = []
+        for name in os.listdir(ckpt_dir):
+            tail = name.rsplit("_", 1)[-1]
+            if tail.isdigit():
+                cands.append((int(tail), os.path.join(ckpt_dir, name)))
+        if not cands:
+            return
+        epoch, path = max(cands)
+        try:
+            ckpt = load_checkpoint(path)
+        except Exception as e:
+            self.print_log(f"auto-resume skipped ({e})")
+            return
+        self.params = merge_params(self.params, ckpt.get("params", {}),
+                                   [], log=self.print_log)
+        if "batch_stats" in ckpt:
+            self.batch_stats = merge_params(
+                self.batch_stats, ckpt["batch_stats"], [],
+                log=self.print_log)
+        self.state = TrainState.create(self.model.apply, self.params,
+                                       self.batch_stats, self.tx)
+        self._maybe_resume_opt_state(path)
+        self.cfg.start_epoch = int(ckpt.get("epoch", epoch - 1)) + 1
+        self.print_log(f"auto-resumed from {path} "
+                       f"(continuing at epoch {self.cfg.start_epoch})")
 
     def _maybe_resume_opt_state(self, path: str):
         """Restore optimizer state + step for exact resume when the
@@ -453,6 +490,9 @@ class Trainer:
                     self.save_checkpoint(epoch)
             self.print_log(
                 f"Best top-1: {self.best_acc:.4f} @ epoch {self.best_epoch}")
+            if cfg.async_checkpoint:
+                from agcn_tpu.train.checkpoint import wait_for_checkpoints
+                wait_for_checkpoints()
         elif cfg.phase == "test":
             if not cfg.weights:
                 raise ValueError("--weights required for phase test")
@@ -626,5 +666,5 @@ class Trainer:
             "step": int(self.state.step),
             "epoch": epoch,
             "steps_per_epoch": int(self.steps_per_epoch),
-        })
+        }, async_save=self.cfg.async_checkpoint)
         self.print_log(f"checkpoint saved: {path}")

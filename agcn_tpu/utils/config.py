@@ -24,6 +24,8 @@ class Config:
     work_dir: str = "./work_dir/temp"
     model_saved_name: str = ""
     assume_yes: bool = False              # skip work-dir reuse guard
+    auto_resume: bool = False             # restart from newest checkpoint
+    async_checkpoint: bool = False        # background (orbax async) saves
     seed: int = 1337
     profiler: bool = False
     # distributed

@@ -236,3 +236,30 @@ def test_test_phase_schedule_geometry_from_checkpoint(tmp_path):
     t2 = Trainer(cfg2)
     assert t2.steps_per_epoch == 4
     t2.start()
+
+
+def test_auto_resume_and_async_checkpoint(tmp_path):
+    """auto_resume restarts from the newest checkpoint in the work dir
+    (crash-resilient restart; the reference's resume is manual
+    --start-epoch/--weights); async_checkpoint saves commit in the
+    background and reload identically."""
+    from agcn_tpu.train.trainer import Trainer
+
+    dp, lp = _dense_data(tmp_path)
+    cfg = _make_cfg(tmp_path, dp, lp, num_epoch=2, save_interval=2,
+                    async_checkpoint=True)
+    t1 = Trainer(cfg)
+    t1.start()  # saves epoch_2 asynchronously, waited at exit
+    p1 = np.asarray(t1.state.params["fc"]["kernel"])
+
+    # simulated restart: same work dir, auto_resume, more epochs
+    cfg2 = _make_cfg(tmp_path, dp, lp, num_epoch=4, save_interval=2,
+                     auto_resume=True)
+    t2 = Trainer(cfg2)
+    assert cfg2.start_epoch == 2  # picked up epoch_2
+    assert int(t2.state.step) == int(t1.state.step)  # opt state restored
+    p2 = np.asarray(t2.state.params["fc"]["kernel"])
+    np.testing.assert_allclose(p1, p2, atol=0)  # exact reload
+    t2.start()  # continues to epoch 4
+    ckpts = os.listdir(os.path.join(cfg.work_dir, "checkpoints"))
+    assert "epoch_4" in {c.replace(".npz", "") for c in ckpts}
