@@ -94,3 +94,26 @@ def test_gcn_formulations_agree():
         got = gcn_ops.apply_gcn(x, a1, w, form)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    atol=2e-3, rtol=1e-4, err_msg=form)
+
+
+def test_flops_cost_analysis():
+    """XLA cost analysis reports a sane forward FLOP count for AGCN
+    (the TPU-native equivalent of the reference's fvcore counting,
+    sgn_v13.py:23-27)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from agcn_tpu.graph import build_adjacency
+    from agcn_tpu.models import AGCN
+    from agcn_tpu.utils.flops import model_flops
+
+    adj = build_adjacency("ntu_rgb_d")
+    model = AGCN(num_class=10, adj=adj)
+    x = jnp.zeros((2, 3, 16, 25, 2), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    flops, ca = model_flops(model, variables, x)
+    # rough analytic floor: the 10 blocks' conv_d projections alone are
+    # sum over blocks of 2*B*T*V*(K*C)*Co with B=4 (persons folded)
+    assert flops > 1e8, ca
+    assert np.isfinite(flops)
