@@ -208,14 +208,17 @@ class GCNSpatialG(nn.Module):
     use_bias: bool = True
     proj_shared: bool = False
     activation: str = "softmax"
+    g_kernel: int = 1   # temporal kernel of g1/g2 (sgcn_g_kernel)
 
     @nn.compact
     def __call__(self, x, g_prior=None):
-        g1 = TConv(self.proj_dim, use_bias=self.use_bias, name="g1")(x)
+        g1 = TConv(self.proj_dim, self.g_kernel, self.g_kernel // 2,
+                   use_bias=self.use_bias, name="g1")(x)
         if self.proj_shared:
             g2 = g1
         else:
-            g2 = TConv(self.proj_dim, use_bias=self.use_bias, name="g2")(x)
+            g2 = TConv(self.proj_dim, self.g_kernel, self.g_kernel // 2,
+                       use_bias=self.use_bias, name="g2")(x)
         logits = jnp.einsum("btvc,btwc->btvw", g1, g2)
         if self.activation == "softmax":
             g = jax.nn.softmax(logits, axis=-1)
@@ -241,16 +244,22 @@ class GCNSpatialGT(nn.Module):
     proj_shared: bool = False
     activation: str = "softmax"
     gt_activation: int = 1  # 1: softmax, 2: sigmoid
+    g_kernel: int = 1
 
     @nn.compact
     def __call__(self, x, g_prior=None):
-        g1 = TConv(self.proj_dim, use_bias=self.use_bias, name="g1")(x)
-        g3 = TConv(self.proj_dim, use_bias=self.use_bias, name="g3")(x)
+        gk, gp = self.g_kernel, self.g_kernel // 2
+        g1 = TConv(self.proj_dim, gk, gp, use_bias=self.use_bias,
+                   name="g1")(x)
+        g3 = TConv(self.proj_dim, gk, gp, use_bias=self.use_bias,
+                   name="g3")(x)
         if self.proj_shared:
             g2, g4 = g1, g3
         else:
-            g2 = TConv(self.proj_dim, use_bias=self.use_bias, name="g2")(x)
-            g4 = TConv(self.proj_dim, use_bias=self.use_bias, name="g4")(x)
+            g2 = TConv(self.proj_dim, gk, gp, use_bias=self.use_bias,
+                       name="g2")(x)
+            g4 = TConv(self.proj_dim, gk, gp, use_bias=self.use_bias,
+                       name="g4")(x)
         b, t, v, _ = x.shape
         g12 = jnp.einsum("btvc,btwc->btvw", g1, g2)  # (B,T,V,V)
         # max over joints -> frame descriptors (reference g3p/g4p pooling)
@@ -311,13 +320,16 @@ class GCNSpatialGTScalar(nn.Module):
     activation: str = "softmax"
     gt_activation: int = 1
     g3_idx: int = 2
+    g_kernel: int = 1
 
     @nn.compact
     def __call__(self, x, g_prior=None, train: bool = False):
         b, t, v, c = x.shape
-        g1 = TConv(self.proj_dim, use_bias=self.use_bias, name="g1")(x)
+        g1 = TConv(self.proj_dim, self.g_kernel, self.g_kernel // 2,
+                   use_bias=self.use_bias, name="g1")(x)
         g2 = g1 if self.proj_shared else TConv(
-            self.proj_dim, use_bias=self.use_bias, name="g2")(x)
+            self.proj_dim, self.g_kernel, self.g_kernel // 2,
+            use_bias=self.use_bias, name="g2")(x)
         logits = jnp.einsum("btvc,btwc->btvw", g1, g2)
         g12 = jax.nn.softmax(logits, axis=-1) \
             if self.activation == "softmax" else jax.nn.sigmoid(logits)
@@ -369,13 +381,16 @@ class GCNSpatialGTMap(nn.Module):
     activation: str = "softmax"
     gt_activation: int = 1     # accepted-but-unused, as in the reference
     g3_idx: int = 2
+    g_kernel: int = 1
 
     @nn.compact
     def __call__(self, x, g_prior=None, train: bool = False):
         b, t, v, c = x.shape
-        g1 = TConv(self.proj_dim, use_bias=self.use_bias, name="g1")(x)
+        g1 = TConv(self.proj_dim, self.g_kernel, self.g_kernel // 2,
+                   use_bias=self.use_bias, name="g1")(x)
         g2 = g1 if self.proj_shared else TConv(
-            self.proj_dim, use_bias=self.use_bias, name="g2")(x)
+            self.proj_dim, self.g_kernel, self.g_kernel // 2,
+            use_bias=self.use_bias, name="g2")(x)
         logits = jnp.einsum("btvc,btwc->btvw", g1, g2)
         g12 = jax.nn.softmax(logits, axis=-1) \
             if self.activation == "softmax" else jax.nn.sigmoid(logits)
@@ -417,6 +432,9 @@ class GCNSpatialUnit(nn.Module):
     res_alpha: float = 1.0
     gt_mode: int = 0
     attn_mode: int = 0  # 0 G-aggregate | 1 no-G | 2 SE | 3 w2-only
+    kernel_size: int = 1   # w2 temporal kernel (sgcn_kernel)
+    padding: int = 0       # w2 temporal padding (sgcn_padding)
+    v_kernel: int = 0      # w0 pre-aggregation conv (sgcn_v_kernel)
 
     @nn.compact
     def __call__(self, x, g, train: bool = False, g_aux=None, y=None):
@@ -424,6 +442,12 @@ class GCNSpatialUnit(nn.Module):
             # per-frame scalar gates the unit input
             # (blocks/spatial.py:791-794)
             x = g_aux * x
+
+        # optional temporal conv BEFORE aggregation (spatial.py:739-746);
+        # the w2 residual still consumes the raw input xg
+        x0 = x if self.v_kernel <= 0 else TConv(
+            x.shape[-1], self.v_kernel, self.v_kernel // 2,
+            use_bias=self.use_bias, name="w0")(x)
 
         def w1(inp):
             return nn.Dense(self.out_channels, use_bias=self.use_bias,
@@ -433,21 +457,22 @@ class GCNSpatialUnit(nn.Module):
                             name="w1")(inp)
 
         def w2(inp):
-            return TConv(self.out_channels, use_bias=self.use_bias,
+            return TConv(self.out_channels, self.kernel_size,
+                         self.padding, use_bias=self.use_bias,
                          name="w2")(inp)
 
         if self.attn_mode == 0:
-            # original SGN: x -> w1(G @ x) + res_alpha * w2(x|y)
-            x2 = frame_aggregate(x, g)  # dest = row of G
+            # original SGN: x -> w1(G @ w0(x)) + res_alpha * w2(x|y)
+            x2 = frame_aggregate(x0, g)  # dest = row of G
             x4 = w1(x2)
             x5 = w2(x if y is None else y) * self.res_alpha
             x6 = x4 + x5
         elif self.attn_mode == 1:
             # two linear projections, no G (blocks/spatial.py:813-820)
-            x6 = w1(x) + w2(x) * self.res_alpha
+            x6 = w1(x0) + w2(x) * self.res_alpha
         elif self.attn_mode == 2:
             # squeeze-excite instead of G (blocks/spatial.py:821-830)
-            se = x.mean(axis=2, keepdims=True)  # (B,T,1,C)
+            se = x0.mean(axis=2, keepdims=True)  # (B,T,1,C)
             se = nn.relu(TConv(self.out_channels // 2,
                                use_bias=self.use_bias, name="w3")(se))
             se = jax.nn.sigmoid(w1(se))
@@ -490,6 +515,10 @@ class GCNSpatialBlock(nn.Module):
     dims: Sequence[int]           # per-unit output dims, e.g. (128, 256, 256)
     g_proj_dim: Any = 256         # int => shared G; list => per-layer G
     g_proj_shared: bool = False
+    g_kernel: int = 1             # sgcn_g_kernel
+    kernel_size: int = 1          # sgcn_kernel (unit w2)
+    padding: int = 0              # sgcn_padding
+    v_kernel: int = 0             # sgcn_v_kernel (unit w0)
     g_activation: str = "softmax"
     g_weighted: bool = False
     gt_mode: int = 0
@@ -527,6 +556,7 @@ class GCNSpatialBlock(nn.Module):
                 common = dict(use_bias=self.use_bias,
                               proj_shared=self.g_proj_shared,
                               activation=self.g_activation,
+                              g_kernel=self.g_kernel,
                               name=f"g{i + 1}")
                 if self.gt_mode == 0:
                     g_out = GCNSpatialG(proj, **common)(x1, g_prior)
@@ -552,6 +582,9 @@ class GCNSpatialBlock(nn.Module):
                                res_alpha=self.res_alpha,
                                gt_mode=self.gt_mode,
                                attn_mode=self.attn_mode,
+                               kernel_size=self.kernel_size,
+                               padding=self.padding,
+                               v_kernel=self.v_kernel,
                                name=f"gcn{i + 1}")(
                 x1, g_list[-1][0], train, g_aux=g_list[-1][1],
                 y=None if inject is None else inject[i])
@@ -730,6 +763,10 @@ class SGN(nn.Module):
     sgcn_g_activation: str = "softmax"
     sgcn_g_weighted: bool = False
     sgcn_g_res_alpha: float = 1.0
+    sgcn_kernel: int = 1       # unit w2 temporal kernel
+    sgcn_padding: int = 0
+    sgcn_g_kernel: int = 1     # g1/g2 temporal kernel
+    sgcn_v_kernel: int = 0     # unit w0 pre-aggregation conv
     sgcn_gt_mode: int = 1
     sgcn_gt_act: int = 1
     sgcn_gt_g3_idx: int = 2
@@ -867,6 +904,10 @@ class SGN(nn.Module):
             g_proj_shared=self.sgcn_g_proj_shared,
             g_activation=self.sgcn_g_activation,
             g_weighted=self.sgcn_g_weighted,
+            g_kernel=self.sgcn_g_kernel,
+            kernel_size=self.sgcn_kernel,
+            padding=self.sgcn_padding,
+            v_kernel=self.sgcn_v_kernel,
             gt_mode=self.sgcn_gt_mode,
             gt_act=self.sgcn_gt_act,
             g3_idx=self.sgcn_gt_g3_idx,

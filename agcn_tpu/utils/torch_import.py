@@ -305,6 +305,12 @@ def sgn_variables_from_torch(sd: Mapping[str, Any]) -> Dict[str, Dict]:
             _set(tree["params"], ("sgcn", f"gcn{i}", "w1", "bias"),
                  sd[f"sgcn.gcn{i}.w1.block.conv.conv.bias"])
         plain_conv(f"sgcn.gcn{i}.w2", ("sgcn", f"gcn{i}", "w2"))
+        if f"sgcn.gcn{i}.w0.block.conv.conv.weight" in sd:
+            # gcn_v_kernel > 0: pre-aggregation temporal conv
+            plain_conv(f"sgcn.gcn{i}.w0", ("sgcn", f"gcn{i}", "w0"))
+        if f"sgcn.gcn{i}.w3.block.conv.conv.weight" in sd:
+            # attn_mode 2 squeeze-excite reduction conv
+            plain_conv(f"sgcn.gcn{i}.w3", ("sgcn", f"gcn{i}", "w3"))
         if f"sgcn.gcn{i}.norm.weight" in sd:
             _bn(tree, ("sgcn", f"gcn{i}", "norm"),
                 ("sgcn", f"gcn{i}", "norm"), sd, f"sgcn.gcn{i}.norm")

@@ -91,6 +91,10 @@ def _ours_from(kwargs):
         if isinstance(kwargs["sgcn_g_proj_dim"], list)
         else kwargs["sgcn_g_proj_dim"],
         sgcn_g_proj_shared=kwargs["sgcn_g_proj_shared"],
+        sgcn_kernel=kwargs.get("sgcn_kernel", 1),
+        sgcn_padding=kwargs.get("sgcn_padding", 0),
+        sgcn_g_kernel=kwargs.get("sgcn_g_kernel", 1),
+        sgcn_v_kernel=kwargs.get("sgcn_v_kernel", 0),
         sgcn_gt_mode=kwargs.get("sgcn_gt_mode", 1),
         sgcn_gt_act=kwargs.get("sgcn_gt_act", 1),
         sgcn_gt_g3_idx=kwargs.get("sgcn_gt_g3_idx", 2),
@@ -116,6 +120,8 @@ def _ours_from(kwargs):
     dict(sgcn_gt_mode=5),
     dict(sgcn_gt_mode=5, sgcn_gt_g3_idx=3),
     dict(sgcn_gt_mode=6, multi_t=[[], [], [3], [3]]),
+    dict(sgcn_kernel=3, sgcn_padding=1, sgcn_g_kernel=3),
+    dict(sgcn_v_kernel=3),
 ])
 def test_parity_vs_torch_reference(overrides):
     import torch
