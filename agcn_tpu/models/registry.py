@@ -126,7 +126,7 @@ def build_model(name: str, model_args: Dict[str, Any],
         # (fixed 1x1 kernels / bn+relu / unshipped experiment switches)
         for k in ("norm_type", "act_type",
                   "semantic_frame_fusion", "semantic_class_fusion",
-                  "gcn_fpn_shared", "gcn_fpn_output_merge",
+                  "gcn_fpn_shared",
                   "sgcn2_kernel", "sgcn2_padding", "sgcn2_dropout",
                   "sgcn2_residual", "sgcn2_prenorm", "sgcn2_ffn",
                   "sgcn2_v_kernel", "sgcn2_g_kernel", "sgcn2_g_proj_dim",

@@ -773,6 +773,7 @@ class SGN(nn.Module):
     sgcn_gt_out_channels2: int = 512
     sgcn_attn_mode: int = 0
 
+    gcn_fpn_output_merge: int = 1  # 0/1 mean features | 2 per-branch fc
     gcn_fpn: int = -1       # -1 none | 0 parallel | 1 proj+sum | 7 (k=3)
     #                         | 8 BiFPN | 10 second GCN stack (sgcn2)
     sgcn2_dims: Optional[Sequence[int]] = None  # dims for gcn_fpn=10
@@ -1103,44 +1104,65 @@ class SGN(nn.Module):
         y = jnp.mean(jnp.stack(outs, 0), 0) if len(outs) > 1 else outs[0]
 
         # temporal pooling + classifier ---------------------------------
-        def tconv_pool(feat_in, kernel, name):
-            """conv over the time axis (valid padding)."""
-            z = nn.Conv(feat_in.shape[-1], kernel_size=(kernel, 1),
-                        padding="VALID", use_bias=bool(self.use_bias),
-                        kernel_init=init.kaiming_normal_fan_out,
-                        name=f"{name}_conv")(feat_in)
-            z = BatchNorm(name=f"{name}_bn")(z, train)
-            return nn.relu(z)
+        # pooling modules are created ONCE and applied per branch when
+        # gcn_fpn_output_merge == 2 (reference sgn_v14.py:1004-1008
+        # applies the shared self.tmp to every branch)
+        merge2 = self.gcn_fpn_output_merge == 2 and len(outs) > 1
+        if merge2 and self.infogcn_noise_ratio is not None:
+            raise ValueError(
+                "gcn_fpn_output_merge=2 has per-branch classifier heads "
+                "and cannot host the InfoGCN latent head")
+        ys = outs if merge2 else [y]
+        ch, tlen = ys[0].shape[-1], ys[0].shape[1]
+        if self.temporal_maxpool == 2:
+            tmp_proj = ConvNormAct(ch, use_bias=self.use_bias,
+                                   name="tmp_ind_projection")
+        if self.temporal_maxpool in (3, 4, 5):
+            conv_k = nn.Conv(ch, kernel_size=(tlen, 1), padding="VALID",
+                             use_bias=bool(self.use_bias),
+                             kernel_init=init.kaiming_normal_fan_out,
+                             name="tmp_k_conv")
+            bn_k = BatchNorm(name="tmp_k_bn")
+        if self.temporal_maxpool in (4, 5):
+            conv_1 = nn.Conv(ch, kernel_size=(1, 1), padding="VALID",
+                             use_bias=bool(self.use_bias),
+                             kernel_init=init.kaiming_normal_fan_out,
+                             name="tmp_1x1_conv")
+            bn_1 = BatchNorm(name="tmp_1x1_bn")
 
-        if self.temporal_maxpool == 1:
-            y = jnp.max(y, axis=1, keepdims=True)
-        elif self.temporal_maxpool == 2:
-            # max pool + argmax-index re-embedding projection
-            # (sgn_v14.py:726-731, :1010-1016)
-            idx = jnp.argmax(y, axis=1, keepdims=True).astype(jnp.float32)
-            y = jnp.max(y, axis=1, keepdims=True)
-            proj = ConvNormAct(y.shape[-1], use_bias=self.use_bias,
-                               name="tmp_ind_projection")(idx, train)
-            y = y + proj
-        elif self.temporal_maxpool == 3:
-            y = tconv_pool(y, y.shape[1], "tmp_k")
-        elif self.temporal_maxpool == 4:
-            y = tconv_pool(y, 1, "tmp_1x1")
-            y = tconv_pool(y, y.shape[1], "tmp_k")
-        elif self.temporal_maxpool == 5:
-            y = tconv_pool(y, y.shape[1], "tmp_k")
-            y = tconv_pool(y, 1, "tmp_1x1")
-        elif self.temporal_maxpool != 0:
+        def pool(y):
+            if self.temporal_maxpool == 0:
+                return y
+            if self.temporal_maxpool == 1:
+                return jnp.max(y, axis=1, keepdims=True)
+            if self.temporal_maxpool == 2:
+                # max pool + argmax-index re-embedding projection
+                # (sgn_v14.py:726-731, :1010-1016)
+                idx = jnp.argmax(y, axis=1,
+                                 keepdims=True).astype(jnp.float32)
+                y = jnp.max(y, axis=1, keepdims=True)
+                return y + tmp_proj(idx, train)
+            if self.temporal_maxpool == 3:
+                return nn.relu(bn_k(conv_k(y), train))
+            if self.temporal_maxpool == 4:
+                y = nn.relu(bn_1(conv_1(y), train))
+                return nn.relu(bn_k(conv_k(y), train))
+            if self.temporal_maxpool == 5:
+                y = nn.relu(bn_k(conv_k(y), train))
+                return nn.relu(bn_1(conv_1(y), train))
             raise NotImplementedError("temporal_maxpool mode")
+
+        ys = [pool(o) for o in ys]
 
         if self.semantic_class > 0:
             cls_tab = jnp.ones((1, 1, 1, 1))
             cls_emb = SGNEmbedding(c4, mode=self.semantic_class,
                                    use_bias=self.use_bias,
                                    name="class_embed")(cls_tab, train)
-            y = y + cls_emb
+            ys = [y_ + cls_emb for y_ in ys]
 
-        y = y.reshape(b, -1)
+        ys = [y_.reshape(b, -1) for y_ in ys]
+        y = ys[0]
         # branch outputs for the cosine feature-similarity loss in torch
         # (N, C, T) layout so CosineLoss dim=1 = channels
         # (processor.py:583-599, utils/loss.py:7-21)
@@ -1176,9 +1198,23 @@ class SGN(nn.Module):
                     jnp.float32))
             aux["z_prior"] = jax.lax.stop_gradient(z_prior.value)
         aux["z"] = y
-        if self.dropout > 0.0:
-            y = nn.Dropout(self.dropout, deterministic=not train,
-                           name="fc_drop")(y)
+        drop = nn.Dropout(self.dropout, deterministic=not train,
+                          name="fc_drop") if self.dropout > 0.0 else None
+        if merge2:
+            # per-branch classifier heads, logits averaged
+            # (sgn_v14.py:1026-1034, gcn_fpn_output_merge == 2)
+            logit_list = []
+            for i, y_i in enumerate(ys):
+                if drop is not None:
+                    y_i = drop(y_i)
+                logit_list.append(nn.Dense(
+                    self.num_class,
+                    kernel_init=init.torch_default_kernel,
+                    bias_init=init.torch_default_bias(y_i.shape[-1]),
+                    name=f"fc{i + 1}")(y_i))
+            return jnp.mean(jnp.stack(logit_list, 0), 0), aux
+        if drop is not None:
+            y = drop(y)
         logits = nn.Dense(self.num_class,
                           kernel_init=init.torch_default_kernel,
                           bias_init=init.torch_default_bias(y.shape[-1]),

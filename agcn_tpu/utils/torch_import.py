@@ -336,6 +336,15 @@ def sgn_variables_from_torch(sd: Mapping[str, Any]) -> Dict[str, Dict]:
         _set(tree["params"], ("fc", "kernel"),
              linear_kernel(sd["fc.weight"]))
         _set(tree["params"], ("fc", "bias"), sd["fc.bias"])
+    # per-branch heads (gcn_fpn_output_merge == 2, sgn_v14.py:798-803);
+    # the reference over-allocates fc heads (len(multi_t) * stale
+    # t_kernels) — only the first N are used in forward, matching ours
+    i = 1
+    while f"fc{i}.weight" in sd:
+        _set(tree["params"], (f"fc{i}", "kernel"),
+             linear_kernel(sd[f"fc{i}.weight"]))
+        _set(tree["params"], (f"fc{i}", "bias"), sd[f"fc{i}.bias"])
+        i += 1
     return tree
 
 

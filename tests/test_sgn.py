@@ -138,3 +138,36 @@ def test_parity_vs_torch_reference(overrides):
     ours, _ = model.apply(variables, jnp.asarray(x_np), train=False)
     np.testing.assert_allclose(np.asarray(ours), ref_logits,
                                atol=3e-4, rtol=3e-4)
+
+
+@pytest.mark.skipif(not reference_available(), reason="reference not mounted")
+def test_parity_output_merge2():
+    """gcn_fpn_output_merge=2: per-branch fc heads, logits averaged
+    (sgn_v14.py:798-803, :1026-1034). The reference over-allocates unused
+    fc heads, so transplant goes through the tolerant merge."""
+    import torch
+
+    from agcn_tpu.train.checkpoint import merge_params
+
+    overrides = dict(multi_t=[[], [], [3, 5]], gcn_fpn_output_merge=2)
+    kwargs = {**V14_KWARGS, **overrides}
+    ref = _torch_sgn(**overrides).eval()
+    x_np = seg_inputs()
+    with torch.no_grad():
+        ref_logits = ref(torch.from_numpy(x_np))[0].numpy()
+
+    model = SGN(
+        num_class=kwargs["num_class"], use_bias=bool(kwargs["bias"]),
+        multi_t=((), (), (3, 5)), gcn_fpn_output_merge=2,
+        dropout2d=kwargs["dropout2d"])
+    base = model.init(jax.random.PRNGKey(0), jnp.asarray(x_np),
+                      train=False)
+    loaded = sgn_variables_from_torch(ref.state_dict())
+    variables = {
+        "params": merge_params(base["params"], loaded["params"]),
+        "batch_stats": merge_params(base.get("batch_stats", {}),
+                                    loaded.get("batch_stats", {})),
+    }
+    ours, _ = model.apply(variables, jnp.asarray(x_np), train=False)
+    np.testing.assert_allclose(np.asarray(ours), ref_logits,
+                               atol=3e-4, rtol=3e-4)
