@@ -492,20 +492,30 @@ class GCNSpatialUnit(nn.Module):
 
 
 class GCNSpatialFFN(nn.Module):
-    """Conv FFN with residual (blocks/spatial.py:36-75)."""
+    """Conv FFN with residual (blocks/spatial.py:36-117). postnorm moves
+    the normalization to AFTER the residual (GCNSpatialFFNPostNorm
+    :78-117); the reference's "Linear" FFN variants (modes 2xx/3xx) are
+    numerically identical to the conv ones at kernel 1 (LinearLayer
+    transposes channels around nn.Linear, block.py:120-125)."""
 
     out_channels: int
     multiplier: float = 4.0
     use_bias: bool = True
+    postnorm: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         inter = int(x.shape[-1] * self.multiplier)
-        y = ConvNormAct(inter, use_bias=self.use_bias, use_norm=True,
+        y = ConvNormAct(inter, use_bias=self.use_bias,
+                        use_norm=not self.postnorm,
                         name="ffn1")(x, train)
         y = ConvNormAct(self.out_channels, use_bias=self.use_bias,
-                        use_norm=True, name="ffn2")(y, train)
-        return y + x
+                        use_norm=not self.postnorm,
+                        name="ffn2")(y, train)
+        y = y + x
+        if self.postnorm:
+            y = BatchNorm(name="norm")(y, train)
+        return y
 
 
 class GCNSpatialBlock(nn.Module):
@@ -596,8 +606,13 @@ class GCNSpatialBlock(nn.Module):
                                   name=f"res{i + 1}")(x)
             x = z
             if self.ffn is not None:
-                x = GCNSpatialFFN(dim, multiplier=self.ffn,
+                # gcn_ffn value encodes variant // 100 and multiplier
+                # % 100 (sgn_v14.py:943-960): 0/2 pre-norm, 1/3 post-norm
+                fmode, fmult = divmod(float(self.ffn), 100.0)
+                fmult = float(self.ffn) if int(fmode) == 0 else fmult
+                x = GCNSpatialFFN(dim, multiplier=fmult,
                                   use_bias=self.use_bias,
+                                  postnorm=int(fmode) in (1, 3),
                                   name=f"ffn{i + 1}")(x, train)
             x_list.append(x)
         return x, g_list, x_list

@@ -320,6 +320,23 @@ def sgn_variables_from_torch(sd: Mapping[str, Any]) -> Dict[str, Dict]:
         if f"sgcn.gcn_ffn{i}.ffn1.block.conv.conv.weight" in sd:
             conv_block(f"sgcn.gcn_ffn{i}.ffn1", ("sgcn", f"ffn{i}", "ffn1"))
             conv_block(f"sgcn.gcn_ffn{i}.ffn2", ("sgcn", f"ffn{i}", "ffn2"))
+        elif f"sgcn.gcn_ffn{i}.ffn1.block.linear.linear.weight" in sd:
+            # "Linear" FFN variants (modes 2xx/3xx) == 1x1 convs
+            for which in ("ffn1", "ffn2"):
+                pref = f"sgcn.gcn_ffn{i}.{which}.block"
+                path = ("sgcn", f"ffn{i}", which)
+                _set(tree["params"], path + ("cnn", "conv", "kernel"),
+                     linear_kernel(sd[f"{pref}.linear.linear.weight"]))
+                if f"{pref}.linear.linear.bias" in sd:
+                    _set(tree["params"], path + ("cnn", "conv", "bias"),
+                         sd[f"{pref}.linear.linear.bias"])
+                if f"{pref}.norm.weight" in sd:
+                    _bn(tree, path + ("norm",), path + ("norm",), sd,
+                        f"{pref}.norm")
+        if f"sgcn.gcn_ffn{i}.norm.weight" in sd:
+            # post-norm FFN variants (modes 1xx/3xx)
+            _bn(tree, ("sgcn", f"ffn{i}", "norm"),
+                ("sgcn", f"ffn{i}", "norm"), sd, f"sgcn.gcn_ffn{i}.norm")
         i += 1
 
     # temporal branches -------------------------------------------------

@@ -87,6 +87,7 @@ def _ours_from(kwargs):
         sgcn_dims=tuple(kwargs["sgcn_dims"]),
         sgcn_residual=tuple(kwargs["sgcn_residual"]),
         sgcn_prenorm=kwargs["sgcn_prenorm"],
+        sgcn_ffn=kwargs.get("sgcn_ffn"),
         sgcn_g_proj_dim=tuple(kwargs["sgcn_g_proj_dim"])
         if isinstance(kwargs["sgcn_g_proj_dim"], list)
         else kwargs["sgcn_g_proj_dim"],
@@ -122,6 +123,9 @@ def _ours_from(kwargs):
     dict(sgcn_gt_mode=6, multi_t=[[], [], [3], [3]]),
     dict(sgcn_kernel=3, sgcn_padding=1, sgcn_g_kernel=3),
     dict(sgcn_v_kernel=3),
+    dict(sgcn_ffn=104.0),   # post-norm conv FFN
+    dict(sgcn_ffn=204.0),   # "Linear" FFN == 1x1 conv pre-norm
+    dict(sgcn_ffn=304.0),   # "Linear" FFN post-norm
 ])
 def test_parity_vs_torch_reference(overrides):
     import torch
