@@ -133,7 +133,7 @@ def build_model(name: str, model_args: Dict[str, Any],
                   "sgcn2_g_proj_shared", "sgcn2_g_weighted",
                   "sgcn2_g_res_alpha", "sgcn2_gt_mode", "sgcn2_gt_act",
                   "sgcn2_gt_g3_idx", "sgcn2_attn_mode",
-                  "sgcn_gt_out_channels2", "sgcn_ffn_mode"):
+                  "sgcn_ffn_mode"):
             args.pop(k, None)
         for dk in ("sgcn_dims", "sgcn2_dims"):
             if dk in args and args[dk] is not None:

@@ -230,6 +230,14 @@ def attention_logits(emb: jnp.ndarray, num_subset: int, inter_c: int,
         th = jnp.transpose(theta, (0, 3, 2, 1, 4)).reshape(b, k, v, t * ce)
         ph = jnp.transpose(phi, (0, 3, 2, 1, 4)).reshape(b, k, v, t * ce)
         return jnp.einsum("bkvx,bkwx->bkvw", th, ph) / (ce * t)
+    if form == "transposed_tl":
+        # pack (Ce, T) instead of (T, Ce): the packed axis ends in T
+        # (full 128-lane occupancy vs Ce=16..64) — same sum, different
+        # relayout pattern
+        theta, phi = e[..., 0, :, :], e[..., 1, :, :]
+        th = jnp.transpose(theta, (0, 3, 2, 4, 1)).reshape(b, k, v, ce * t)
+        ph = jnp.transpose(phi, (0, 3, 2, 4, 1)).reshape(b, k, v, ce * t)
+        return jnp.einsum("bkvx,bkwx->bkvw", th, ph) / (ce * t)
     if form == "onepack":
         # ONE transpose of the combined tensor; theta/phi become
         # leading-axis views

@@ -71,7 +71,7 @@ def test_attention_logits_forms_agree():
     emb = jnp.asarray(rng.standard_normal((b, t, v, 2 * k * ce)),
                       jnp.float32)
     ref = gcn_ops.attention_logits(emb, k, ce, "naive")
-    for form in ("transposed", "onepack", "blockdiag"):
+    for form in ("transposed", "transposed_tl", "onepack", "blockdiag"):
         got = gcn_ops.attention_logits(emb, k, ce, form)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    atol=1e-5, rtol=1e-5, err_msg=form)
