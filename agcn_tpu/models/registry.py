@@ -127,12 +127,12 @@ def build_model(name: str, model_args: Dict[str, Any],
         for k in ("norm_type", "act_type",
                   "semantic_frame_fusion", "semantic_class_fusion",
                   "gcn_fpn_shared",
-                  "sgcn2_kernel", "sgcn2_padding", "sgcn2_dropout",
-                  "sgcn2_residual", "sgcn2_prenorm", "sgcn2_ffn",
-                  "sgcn2_v_kernel", "sgcn2_g_kernel", "sgcn2_g_proj_dim",
+                  # sgcn2 G/GT args are dead in the reference's own
+                  # forward (Block2 always receives g_attn)
+                  "sgcn2_g_kernel", "sgcn2_g_proj_dim",
                   "sgcn2_g_proj_shared", "sgcn2_g_weighted",
                   "sgcn2_g_res_alpha", "sgcn2_gt_mode", "sgcn2_gt_act",
-                  "sgcn2_gt_g3_idx", "sgcn2_attn_mode",
+                  "sgcn2_gt_g3_idx",
                   "sgcn_ffn_mode"):
             args.pop(k, None)
         for dk in ("sgcn_dims", "sgcn2_dims"):

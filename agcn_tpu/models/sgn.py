@@ -461,11 +461,15 @@ class GCNSpatialUnit(nn.Module):
                          self.padding, use_bias=self.use_bias,
                          name="w2")(inp)
 
-        if self.attn_mode == 0:
-            # original SGN: x -> w1(G @ w0(x)) + res_alpha * w2(x|y)
+        if self.attn_mode in (0, 10):
+            # original SGN: x -> w1(G @ w0(x)) + res_alpha * w2(x)
+            # (attn_mode 10 feeds the w2 residual from the injected
+            # feature y instead — spatial.py:806-812; plain mode 0
+            # IGNORES y, matching Block2's shipped default)
             x2 = frame_aggregate(x0, g)  # dest = row of G
             x4 = w1(x2)
-            x5 = w2(x if y is None else y) * self.res_alpha
+            x5 = w2(y if self.attn_mode == 10 and y is not None
+                    else x) * self.res_alpha
             x6 = x4 + x5
         elif self.attn_mode == 1:
             # two linear projections, no G (blocks/spatial.py:813-820)
@@ -792,6 +796,14 @@ class SGN(nn.Module):
     gcn_fpn: int = -1       # -1 none | 0 parallel | 1 proj+sum | 7 (k=3)
     #                         | 8 BiFPN | 10 second GCN stack (sgcn2)
     sgcn2_dims: Optional[Sequence[int]] = None  # dims for gcn_fpn=10
+    sgcn2_kernel: int = 1
+    sgcn2_padding: int = 0
+    sgcn2_dropout: float = 0.0
+    sgcn2_residual: Optional[Sequence[int]] = None
+    sgcn2_prenorm: bool = False
+    sgcn2_ffn: Optional[float] = None
+    sgcn2_v_kernel: int = 0
+    sgcn2_attn_mode: int = 0   # 10 = w2 residual from the injected level
     gcn_fpn_kernel: int = 1
     bifpn_dim: int = 256
     bifpn_layers: int = 1
@@ -983,6 +995,10 @@ class SGN(nn.Module):
             # second GCN stack over the last output with earlier features
             # injected high-to-low (sgn_v14.py:920-927 + GCNSpatialBlock2)
             dims2 = tuple(self.sgcn2_dims or sgcn_dims)
+            # injected levels are [the pre-sgcn embedded input] +
+            # earlier unit outputs, reversed high-to-low
+            # (sgn_v14.py:920-923: `x` there is still the sgcn INPUT —
+            # the sgcn call does not reassign it)
             inject = [feat] + list(x_list[:-1])
             inject.reverse()
             _, _, x_list2 = GCNSpatialBlock(
@@ -991,9 +1007,16 @@ class SGN(nn.Module):
                 g_proj_shared=self.sgcn_g_proj_shared,
                 g_activation=self.sgcn_g_activation,
                 gt_mode=0,
-                residual=(0,) * len(dims2),
-                prenorm=self.sgcn_prenorm,
-                dropout=self.sgcn_dropout,
+                kernel_size=self.sgcn2_kernel,
+                padding=self.sgcn2_padding,
+                v_kernel=self.sgcn2_v_kernel,
+                attn_mode=self.sgcn2_attn_mode,
+                ffn=self.sgcn2_ffn,
+                residual=tuple(self.sgcn2_residual)
+                if self.sgcn2_residual is not None
+                else (0,) * len(dims2),
+                prenorm=self.sgcn2_prenorm,
+                dropout=self.sgcn2_dropout,
                 use_bias=self.use_bias,
                 name="sgcn2")(x_list[-1], train, inject=inject,
                               g_fixed=g_list[-1][0])

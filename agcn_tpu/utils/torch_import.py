@@ -339,6 +339,36 @@ def sgn_variables_from_torch(sd: Mapping[str, Any]) -> Dict[str, Dict]:
                 ("sgcn", f"ffn{i}", "norm"), sd, f"sgcn.gcn_ffn{i}.norm")
         i += 1
 
+    # second GCN stack (gcn_fpn = 10, GCNSpatialBlock2 -> our "sgcn2"
+    # block); its gcn_g{i}/alpha params are dead in the reference's
+    # forward (Block2 always receives g_attn) and are skipped
+    i = 1
+    while f"sgcn2.gcn{i}.w1.block.conv.conv.weight" in sd:
+        _set(tree["params"], ("sgcn2", f"gcn{i}", "w1", "kernel"),
+             pointwise_kernel(sd[f"sgcn2.gcn{i}.w1.block.conv.conv.weight"]))
+        if f"sgcn2.gcn{i}.w1.block.conv.conv.bias" in sd:
+            _set(tree["params"], ("sgcn2", f"gcn{i}", "w1", "bias"),
+                 sd[f"sgcn2.gcn{i}.w1.block.conv.conv.bias"])
+        plain_conv(f"sgcn2.gcn{i}.w2", ("sgcn2", f"gcn{i}", "w2"))
+        for extra in ("w0", "w3"):
+            if f"sgcn2.gcn{i}.{extra}.block.conv.conv.weight" in sd:
+                plain_conv(f"sgcn2.gcn{i}.{extra}",
+                           ("sgcn2", f"gcn{i}", extra))
+        if f"sgcn2.gcn{i}.norm.weight" in sd:
+            _bn(tree, ("sgcn2", f"gcn{i}", "norm"),
+                ("sgcn2", f"gcn{i}", "norm"), sd, f"sgcn2.gcn{i}.norm")
+        if f"sgcn2.gcn_prenorm{i}.weight" in sd:
+            _bn(tree, ("sgcn2", f"prenorm{i}"), ("sgcn2", f"prenorm{i}"),
+                sd, f"sgcn2.gcn_prenorm{i}")
+        if f"sgcn2.gcn_ffn{i}.ffn1.block.conv.conv.weight" in sd:
+            conv_block(f"sgcn2.gcn_ffn{i}.ffn1",
+                       ("sgcn2", f"ffn{i}", "ffn1"))
+            conv_block(f"sgcn2.gcn_ffn{i}.ffn2",
+                       ("sgcn2", f"ffn{i}", "ffn2"))
+        if f"sgcn2.gcn_res{i}.block.conv.conv.weight" in sd:
+            plain_conv(f"sgcn2.gcn_res{i}", ("sgcn2", f"res{i}"))
+        i += 1
+
     # temporal branches -------------------------------------------------
     for key in list(sd):
         m = re.match(r"^tem_mlp_(\d+)_(\d+)_k(\d+)\.cnn\.cnn(\d)\."

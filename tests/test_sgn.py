@@ -175,3 +175,32 @@ def test_parity_output_merge2():
     ours, _ = model.apply(variables, jnp.asarray(x_np), train=False)
     np.testing.assert_allclose(np.asarray(ours), ref_logits,
                                atol=3e-4, rtol=3e-4)
+
+
+@pytest.mark.skipif(not reference_available(), reason="reference not mounted")
+@pytest.mark.parametrize("attn2", [0, 10])
+def test_parity_gcn_fpn10_second_stack(attn2):
+    """gcn_fpn=10: the second GCN stack (GCNSpatialBlock2) with reused
+    G, injected high-to-low levels (used only by attn_mode 10), and the
+    sgcn2.* checkpoint mapping."""
+    import torch
+
+    # sgcn2_g_proj_dim must be given or the reference's Block2 ctor
+    # crashes on None (spatial.py:1073-1075); the resulting gcn_g modules
+    # are dead (forward always passes g_attn)
+    overrides = dict(gcn_fpn=10, sgcn2_dims=[256, 256, 256],
+                     sgcn2_attn_mode=attn2, sgcn2_g_proj_dim=256)
+    kwargs = {**V14_KWARGS, **overrides}
+    ref = _torch_sgn(**overrides).eval()
+    x_np = seg_inputs()
+    with torch.no_grad():
+        ref_logits = ref(torch.from_numpy(x_np))[0].numpy()
+
+    model = SGN(
+        num_class=kwargs["num_class"], use_bias=bool(kwargs["bias"]),
+        dropout2d=kwargs["dropout2d"], gcn_fpn=10,
+        sgcn2_dims=(256, 256, 256), sgcn2_attn_mode=attn2)
+    variables = sgn_variables_from_torch(ref.state_dict())
+    ours, _ = model.apply(variables, jnp.asarray(x_np), train=False)
+    np.testing.assert_allclose(np.asarray(ours), ref_logits,
+                               atol=3e-4, rtol=3e-4)
