@@ -124,9 +124,11 @@ def build_model(name: str, model_args: Dict[str, Any],
             args["use_bias"] = bool(args["use_bias"])
         # drop reference-only args our SGN fixes or doesn't expose
         # (fixed 1x1 kernels / bn+relu / unshipped experiment switches)
+        # norm/act are fixed bn+relu (the only shipped values);
+        # semantic_frame_fusion is marked UNUSED in the reference itself
+        # (sgn_v14.py:258)
         for k in ("norm_type", "act_type",
                   "semantic_frame_fusion", "semantic_class_fusion",
-                  "gcn_fpn_shared",
                   # sgcn2 G/GT args are dead in the reference's own
                   # forward (Block2 always receives g_attn)
                   "sgcn2_g_kernel", "sgcn2_g_proj_dim",

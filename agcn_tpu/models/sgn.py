@@ -793,6 +793,7 @@ class SGN(nn.Module):
     sgcn_attn_mode: int = 0
 
     gcn_fpn_output_merge: int = 1  # 0/1 mean features | 2 per-branch fc
+    gcn_fpn_shared: int = 0        # 1: share the fpn projection
     gcn_fpn: int = -1       # -1 none | 0 parallel | 1 proj+sum | 7 (k=3)
     #                         | 8 BiFPN | 10 second GCN stack (sgcn2)
     sgcn2_dims: Optional[Sequence[int]] = None  # dims for gcn_fpn=10
@@ -952,6 +953,13 @@ class SGN(nn.Module):
         # GCN-FPN: which levels feed the temporal module and how they are
         # merged (reference sgn_v14.py:862-929, modes doc :58-71)
         def fpn_proj(dim, k, suffix=""):
+            if self.gcn_fpn_shared:
+                # one projection shared across every level
+                # (sgn_v14.py:449-458, :894-895 fall back to fpn_proj1)
+                shared = TConv(dim, kernel_size=k, padding=k // 2,
+                               use_bias=self.use_bias,
+                               name=f"fpn_proj1{suffix}")
+                return [shared(xl) for xl in x_list]
             return [TConv(dim, kernel_size=k, padding=k // 2,
                           use_bias=self.use_bias,
                           name=f"fpn_proj{i + 1}{suffix}")(xl)

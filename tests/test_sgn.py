@@ -204,3 +204,16 @@ def test_parity_gcn_fpn10_second_stack(attn2):
     ours, _ = model.apply(variables, jnp.asarray(x_np), train=False)
     np.testing.assert_allclose(np.asarray(ours), ref_logits,
                                atol=3e-4, rtol=3e-4)
+
+
+def test_gcn_fpn_shared_projection():
+    """gcn_fpn_shared=1 shares ONE fpn projection across levels
+    (sgn_v14.py:449-458); like the reference's fixed-in-channels Conv it
+    requires equal level widths."""
+    m = SGN(num_class=5, gcn_fpn=1, gcn_fpn_shared=1,
+            sgcn_dims=(64, 64, 64), multi_t=((3,), (3,), (3,)))
+    x = jnp.asarray(seg_inputs())
+    v = m.init(jax.random.PRNGKey(0), x, train=False)
+    assert "fpn_proj1" in v["params"] and "fpn_proj2" not in v["params"]
+    out, _ = m.apply(v, x, train=False)
+    assert out.shape == (4, 5)
