@@ -263,3 +263,34 @@ def test_auto_resume_and_async_checkpoint(tmp_path):
     t2.start()  # continues to epoch 4
     ckpts = os.listdir(os.path.join(cfg.work_dir, "checkpoints"))
     assert "epoch_4" in {c.replace(".npz", "") for c in ckpts}
+
+
+def test_two_stream_workflow_end_to_end(tmp_path):
+    """The full 2s-AGCN production workflow: train the joint and bone
+    streams separately (reference §3.3), then fuse their saved score
+    pickles with ensemble.py — the ensemble must be at least as good as
+    either stream on this separable data."""
+    import sys
+
+    sys.path.insert(0, REPO_ROOT)
+    import ensemble as ens
+
+    from agcn_tpu.train.trainer import Trainer
+
+    dp, lp = _dense_data(tmp_path, n=16)
+    streams = {}
+    for stream, seed in (("joint", 0), ("bone", 1)):
+        cfg = _make_cfg(tmp_path, dp, lp, num_epoch=2, seed=seed)
+        cfg.work_dir = str(tmp_path / f"work_{stream}")
+        t = Trainer(cfg)
+        t.start()
+        streams[stream] = os.path.join(cfg.work_dir, "score",
+                                       "epoch2_val.pkl")
+        assert os.path.exists(streams[stream])
+        if stream == "joint":
+            joint_acc = t.best_acc
+
+    accs = ens.main(["--label", lp,
+                     "--joint-score", streams["joint"],
+                     "--bone-score", streams["bone"]])
+    assert accs[1] >= joint_acc - 1e-9  # top-1 of the fused streams
