@@ -209,3 +209,25 @@ def test_gendata_from_raw_end_to_end(tmp_path):
     # CV: cameras 2,3 train (5 samples -> 4 train + 1 val), camera 1 test
     assert te.shape[0] == 3 and tr.shape[0] + te.shape[0] <= 8
     assert np.isfinite(out).all()
+
+
+def test_load_statistics(tmp_path):
+    """The reference's statistics/*.txt metadata tables drive the raw
+    pipeline (get_raw_skes_data.py:147-153): names + 1-based labels +
+    performer/camera columns, with the missing-skeletons list filtered."""
+    from agcn_tpu.data.gen.sgn_raw import load_statistics
+
+    names = ["S001C001P001R001A001", "S001C002P002R001A002",
+             "S001C003P003R001A003"]
+    (tmp_path / "skes_available_name.txt").write_text("\n".join(names))
+    (tmp_path / "label.txt").write_text("1\n2\n3\n")
+    (tmp_path / "performer.txt").write_text("1\n2\n3\n")
+    (tmp_path / "camera.txt").write_text("1\n2\n3\n")
+    (tmp_path / "samples_with_missing_skeletons.txt").write_text(names[1])
+
+    paths, labels, perf, cam = load_statistics(str(tmp_path), "/skel")
+    assert paths == ["/skel/S001C001P001R001A001.skeleton",
+                     "/skel/S001C003P003R001A003.skeleton"]
+    assert labels.tolist() == [0, 2]    # 0-based
+    assert perf.tolist() == [1, 3]
+    assert cam.tolist() == [1, 3]
