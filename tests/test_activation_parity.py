@@ -119,3 +119,48 @@ def test_aagcn_per_block_activations_match():
 
     scale = max(float(np.abs(ref_logits).mean()), 1e-6)
     assert np.abs(np.asarray(out[0]) - ref_logits).max() / scale < 5e-4
+
+
+@pytest.mark.skipif(not reference_available(), reason="reference not mounted")
+def test_sgn_per_unit_activations_match():
+    """SGN: every spatial GCN unit's output and the temporal branch
+    output match the reference under weight transplant."""
+    add_reference_to_path()
+    import torch
+
+    from agcn_tpu.utils.torch_import import sgn_variables_from_torch
+
+    from .test_sgn import V14_KWARGS, _ours_from, _torch_sgn
+
+    ref = _torch_sgn().eval()
+    x_np = np.random.default_rng(2).standard_normal(
+        (3, 20, 75)).astype(np.float32)
+
+    torch_acts = {}
+
+    def hook(name):
+        def fn(_m, _i, out):
+            o = out[0] if isinstance(out, tuple) else out
+            torch_acts[name] = o.detach().numpy()
+        return fn
+
+    for i in (1, 2, 3):
+        getattr(ref.sgcn, f"gcn{i}").register_forward_hook(hook(f"gcn{i}"))
+    with torch.no_grad():
+        ref_logits = ref(torch.from_numpy(x_np))[0].numpy()
+
+    model = _ours_from(V14_KWARGS)
+    variables = sgn_variables_from_torch(ref.state_dict())
+    (logits, _), state = model.apply(
+        variables, jnp.asarray(x_np), train=False,
+        capture_intermediates=True, mutable=["intermediates"])
+    inter = state["intermediates"]
+
+    for i in (1, 2, 3):
+        got = np.asarray(
+            inter["sgcn"][f"gcn{i}"]["__call__"][0])  # (B, T, V, C)
+        want = np.transpose(torch_acts[f"gcn{i}"], (0, 3, 2, 1))
+        np.testing.assert_allclose(got, want, atol=3e-4, rtol=3e-4,
+                                   err_msg=f"sgcn unit {i} diverges")
+    np.testing.assert_allclose(np.asarray(logits), ref_logits,
+                               atol=3e-4, rtol=3e-4)
