@@ -16,7 +16,9 @@ RNG state.
 
 from __future__ import annotations
 
+import os
 import pickle
+import warnings
 from typing import Optional, Sequence, Tuple
 
 import numpy as np
@@ -100,7 +102,7 @@ class SkeletonDataset:
         if normalization:
             self._compute_mean_map()
 
-        self.rng = np.random.default_rng(0)
+        self._seed = 0
 
     def _compute_mean_map(self):
         data = np.asarray(self.data)
@@ -111,7 +113,7 @@ class SkeletonDataset:
             n * t * m, c * v).std(axis=0).reshape(c, 1, v, 1)
 
     def seed(self, seed: int):
-        self.rng = np.random.default_rng(seed)
+        self._seed = int(seed)
 
     def __len__(self):
         return len(self.label)
@@ -119,7 +121,9 @@ class SkeletonDataset:
     def __getitem__(self, index: int) -> Tuple[np.ndarray, int, int]:
         x = np.array(self.data[index], dtype=np.float32)
         label = int(self.label[index])
-        rng = self.rng
+        # per-item stream derived from the per-epoch seed: thread-safe under
+        # the pipeline's worker pool and independent of iteration order
+        rng = np.random.default_rng((self._seed, index))
 
         if self.stretch:
             x = T.stretch_to_maximum_length(x)
@@ -177,14 +181,26 @@ class SGNDataset:
                 data = pickle.load(f)
             return np.asarray(data), np.asarray(label)
 
-        if "train" in data_path and merge_val_into_train:
+        def val_path(p):
+            # swap train->val in the filename only, so a 'train' in a
+            # directory component can't produce a bogus path
+            head, tail = os.path.split(p)
+            return os.path.join(head, tail.replace("train", "val"))
+
+        if "train" in os.path.basename(data_path) and merge_val_into_train:
+            # the reference trains SGN on train+val merged
+            # (feeders/feeder.py:92-103) and fails loudly when the val
+            # files are absent; we degrade to train-only but say so
             d1, l1 = load_pair(data_path, label_path)
             try:
-                d2, l2 = load_pair(data_path.replace("train", "val"),
-                                   label_path.replace("train", "val"))
+                d2, l2 = load_pair(val_path(data_path), val_path(label_path))
                 self.data = np.concatenate([d1, d2], axis=0)
                 self.label = np.concatenate([l1, l2], axis=0)
             except FileNotFoundError:
+                warnings.warn(
+                    f"SGNDataset: val split {val_path(data_path)!r} not "
+                    f"found; training on the train split only (the "
+                    f"reference merges train+val)")
                 self.data, self.label = d1, l1
         else:
             self.data, self.label = load_pair(data_path, label_path)

@@ -115,7 +115,9 @@ def gendata(data_path: str,
         t = min(sample.shape[1], MAX_FRAME)
         data[i, :, :t] = sample[:, :t]
 
-    data = pre_normalization(data)
+    # pad=False matches the reference call (data_gen/ntu_gendata.py:172):
+    # zero tails stay zero rather than being tiled with the valid prefix.
+    data = pre_normalization(data, pad=False)
     os.makedirs(out_path, exist_ok=True)
     np.save(os.path.join(out_path, f"{part}_data_joint.npy"), data)
     with open(os.path.join(out_path, f"{part}_label.pkl"), "wb") as f:

@@ -258,9 +258,9 @@ def align_frames(seqs: List[np.ndarray],
 
 # -- splits + driver -----------------------------------------------------
 
-CS_TRAIN_IDS = (1, 2, 4, 5, 8, 9, 13, 14, 15, 16,
-                17, 18, 19, 25, 27, 28, 31, 34, 35, 38)
-CV_TRAIN_CAMERAS = (2, 3)
+# single source of truth for the NTU split tables lives in gen/ntu.py
+from agcn_tpu.data.gen.ntu import TRAINING_CAMERAS as CV_TRAIN_CAMERAS  # noqa: E402
+from agcn_tpu.data.gen.ntu import TRAINING_SUBJECTS as CS_TRAIN_IDS  # noqa: E402
 
 
 def split_indices(performer: np.ndarray, camera: np.ndarray,

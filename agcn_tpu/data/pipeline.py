@@ -111,25 +111,43 @@ class BatchIterator:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
         err: list = []
+        stop = threading.Event()
+
+        def _put(item) -> bool:
+            # bounded put that gives up when the consumer went away, so an
+            # abandoned iterator can't pin the thread + `prefetch` batches
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def producer():
             try:
                 for item in self._iter_batches():
-                    q.put(item)
+                    if not _put(item):
+                        return
             except BaseException as e:  # propagate to consumer
                 err.append(e)
             finally:
-                q.put(sentinel)
+                _put(sentinel)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                if err:
-                    raise err[0]
-                return
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    if err:
+                        raise err[0]
+                    return
+                yield item
+        finally:
+            # consumer closed early (break/exception/GC): release the
+            # producer so _iter_batches' finally shuts its pool down
+            stop.set()
 
 
 def make_sgn_collate(sampler: SegmentSampler, train: bool,

@@ -120,8 +120,8 @@ def rotation_matrices(rot: np.ndarray) -> np.ndarray:
     ], -2)
     rz = np.stack([
         np.stack([cos_r[..., 2], sin_r[..., 2], zeros], -1),
-        np.stack([zeros, zeros, ones], -1),
         np.stack([-sin_r[..., 2], cos_r[..., 2], zeros], -1),
+        np.stack([zeros, zeros, ones], -1),
     ], -2)
     return rz @ ry @ rx
 

@@ -53,6 +53,8 @@ class AAGCNTransformer(nn.Module):
     pos_enc: str = "abs"          # 'abs' | 'cos' | 'none'
     use_cls_token: bool = True
     cross_fusion: bool = False    # v37-style CLS cross-attention (dual)
+    drop_out: float = 0.0         # BaseModel classifier dropout (aagcn.py:523),
+                                  # distinct from the transformer layer dropout
     sync_axis: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
 
@@ -144,8 +146,8 @@ class AAGCNTransformer(nn.Module):
 
         # person mean (reference forward_postprocess person average)
         feat = feat.reshape(n, m, -1).mean(axis=1)
-        if self.dropout > 0.0:
-            feat = nn.Dropout(self.dropout, deterministic=not train,
+        if self.drop_out > 0.0:
+            feat = nn.Dropout(self.drop_out, deterministic=not train,
                               name="fc_drop")(feat)
         logits = nn.Dense(self.num_class,
                           kernel_init=init.fc_init(self.num_class),

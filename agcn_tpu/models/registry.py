@@ -58,7 +58,9 @@ def _build_agcn(model_args: Dict[str, Any], cls, edge_mesh=None):
     adj = build_adjacency(graph, **graph_args)
     # reference arg names we normalize
     args.pop("num_subset", None)
-    if "drop_out" in args and cls is not AAGCN:
+    # the original AGCN Model takes no drop_out (reference agcn.py:133);
+    # every BaseModel descendant (aagcn + versions) applies it before fc
+    if "drop_out" in args and not hasattr(cls, "drop_out"):
         args.pop("drop_out")
     if edge_mesh is not None:
         if cls in (AGCN, AAGCN):

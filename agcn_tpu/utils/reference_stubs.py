@@ -12,7 +12,10 @@ REFERENCE_ROOT = "/root/reference"
 
 def install(reference_root: str = REFERENCE_ROOT) -> None:
     if reference_root not in sys.path:
-        sys.path.insert(0, reference_root)
+        # APPEND, never prepend: the reference tree has top-level modules
+        # named `infer`, `main`, `ensemble` that would otherwise shadow
+        # this repo's own root-level modules of the same names
+        sys.path.append(reference_root)
 
     if "typer" not in sys.modules:
         typer = types.ModuleType("typer")

@@ -66,10 +66,11 @@ def discover_weights(work_dir: str) -> str:
 
 
 def iter_stream_files(path: str, follow: bool, poll_s: float = 0.5,
-                      max_idle_s: float = 10.0):
+                      max_idle_s: float = None):
     """Yield input files: a single file, or every file in a directory in
     mtime order — with --follow, keep polling for NEW files (the live
-    demo loop, reference inference_220802.py:518-560)."""
+    demo loop, reference inference_220802.py:518-560). max_idle_s=None
+    polls forever; set it to bound the wait (e.g. in tests)."""
     import time as _t
 
     if os.path.isfile(path):
@@ -90,7 +91,7 @@ def iter_stream_files(path: str, follow: bool, poll_s: float = 0.5,
             return
         if not fresh:
             idle += poll_s
-            if idle >= max_idle_s:
+            if max_idle_s is not None and idle >= max_idle_s:
                 return
             _t.sleep(poll_s)
 
@@ -107,6 +108,9 @@ def main(argv=None):
     p.add_argument("--follow", action="store_true",
                    help="keep watching --input (a directory) for new "
                         "files (live demo loop)")
+    p.add_argument("--max-idle", type=float, default=None,
+                   help="with --follow: exit after this many seconds "
+                        "without new files (default: poll forever)")
     p.add_argument("--save-attention", type=str, default=None,
                    help="write per-prediction G attention heatmaps "
                         "(png) into this directory")
@@ -183,7 +187,8 @@ def main(argv=None):
         os.makedirs(args.save_attention, exist_ok=True)
 
     try:
-        for src in iter_stream_files(args.input, args.follow):
+        for src in iter_stream_files(args.input, args.follow,
+                                     max_idle_s=args.max_idle):
             tag = os.path.splitext(os.path.basename(src))[0]
             if os.path.isdir(args.input):
                 print(f"== {src}", flush=True)

@@ -54,6 +54,40 @@ def test_transforms_shapes():
     np.testing.assert_allclose(n0, n1, rtol=1e-4)
 
 
+def test_rotation_matrices_match_torch_reference():
+    """Exact parity vs the reference `_rot` (feeders/tools.py:278-299):
+    row order of Rz matters — the transposed variant is a det=-1
+    reflection that still preserves norms, so the norm checks alone
+    cannot catch it."""
+    import torch
+
+    rng = np.random.default_rng(7)
+    rot = rng.uniform(-0.6, 0.6, (5, 11, 3)).astype(np.float32)
+
+    ours = T.rotation_matrices(rot)
+    np.testing.assert_allclose(np.linalg.det(ours), 1.0, atol=1e-5)
+
+    r = torch.from_numpy(rot)
+    cos_r, sin_r = r.cos(), r.sin()
+    zeros = torch.zeros(r.shape[:2] + (1,))
+    ones = torch.ones(r.shape[:2] + (1,))
+    r1 = torch.stack((ones, zeros, zeros), dim=-1)
+    rx2 = torch.stack((zeros, cos_r[:, :, 0:1], sin_r[:, :, 0:1]), dim=-1)
+    rx3 = torch.stack((zeros, -sin_r[:, :, 0:1], cos_r[:, :, 0:1]), dim=-1)
+    rx = torch.cat((r1, rx2, rx3), dim=2)
+    ry1 = torch.stack((cos_r[:, :, 1:2], zeros, -sin_r[:, :, 1:2]), dim=-1)
+    r2 = torch.stack((zeros, ones, zeros), dim=-1)
+    ry3 = torch.stack((sin_r[:, :, 1:2], zeros, cos_r[:, :, 1:2]), dim=-1)
+    ry = torch.cat((ry1, r2, ry3), dim=2)
+    rz1 = torch.stack((cos_r[:, :, 2:3], sin_r[:, :, 2:3], zeros), dim=-1)
+    r3 = torch.stack((zeros, zeros, ones), dim=-1)
+    rz2 = torch.stack((-sin_r[:, :, 2:3], cos_r[:, :, 2:3], zeros), dim=-1)
+    rz = torch.cat((rz1, rz2, r3), dim=2)
+    expect = rz.matmul(ry).matmul(rx).numpy()
+
+    np.testing.assert_allclose(ours, expect, atol=1e-6)
+
+
 def test_batch_rotation_preserves_norms():
     rng = np.random.default_rng(0)
     x = rng.standard_normal((4, 20, 75)).astype(np.float32)
@@ -151,8 +185,11 @@ def test_sgn_pipeline_end_to_end(tmp_path):
 
 
 def test_pipeline_workers_match_serial(tmp_path):
+    # augmentation ON: the per-item RNG streams make worker-pool results
+    # bit-identical to serial iteration regardless of thread scheduling
     dp, lp = _make_dense_dataset(tmp_path)
-    ds = SkeletonDataset(dp, lp, window_size=16)
+    ds = SkeletonDataset(dp, lp, window_size=16, random_rotation=True,
+                         random_shift=True, random_move=True)
     serial = BatchIterator(ds, batch_size=4, shuffle=True, seed=3,
                            prefetch=0, num_workers=0)
     threaded = BatchIterator(ds, batch_size=4, shuffle=True, seed=3,
@@ -160,4 +197,22 @@ def test_pipeline_workers_match_serial(tmp_path):
     for (x1, y1, i1), (x2, y2, i2) in zip(serial, threaded):
         np.testing.assert_array_equal(i1, i2)
         np.testing.assert_array_equal(y1, y2)
-        assert x1.shape == x2.shape
+        np.testing.assert_array_equal(x1, x2)
+
+
+def test_pipeline_abandoned_iterator_releases_producer(tmp_path):
+    import threading
+
+    dp, lp = _make_dense_dataset(tmp_path)
+    ds = SkeletonDataset(dp, lp, window_size=16)
+    before = threading.active_count()
+    for _ in range(5):
+        it = iter(BatchIterator(ds, batch_size=2, prefetch=2))
+        next(it)
+        it.close()  # abandon mid-epoch
+    import time
+
+    deadline = time.time() + 5.0
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before
