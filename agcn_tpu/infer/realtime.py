@@ -97,9 +97,16 @@ class ActionRecognition:
                   for leaf in jax.tree_util.tree_leaves(
                       inter.get("intermediates", {}))]
             if gs:
-                # (B, K, V, V) per block -> first sample, first subset
-                self.last_attention = [g[0] if g.ndim == 4 else g
-                                       for g in gs]
+                # (B, K, V, V) per block -> first sample; scanned block
+                # groups (scan_blocks=True) carry a leading stacked axis
+                # (n, B, K, V, V) that we split back into per-block maps
+                flat = []
+                for g in gs:
+                    if g.ndim == 5:
+                        flat.extend(gi[0] for gi in g)
+                    else:
+                        flat.append(g[0] if g.ndim == 4 else g)
+                self.last_attention = flat
         if isinstance(out, tuple):
             logits = np.asarray(out[0])
             aux = out[1]

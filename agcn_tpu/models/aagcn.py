@@ -89,6 +89,7 @@ class AdaptiveGCN(nn.Module):
     adj: Any  # (K, V, V) initial value for PA
     dtype: Optional[jnp.dtype] = None
     formulation: str = "agg_packed"  # ops/gcn.apply_gcn
+    attn_form: str = "transposed"    # ops/gcn.attention_logits
     edge_mesh: Any = None  # Mesh with 'edge' axis: in-model edge partition
 
     @nn.compact
@@ -126,18 +127,10 @@ class AdaptiveGCN(nn.Module):
             emb_w = emb_w.astype(self.dtype)
             emb_b = emb_b.astype(self.dtype)
         emb = compute @ emb_w + emb_b
-        b, t, v, _ = emb.shape
-        emb = emb.reshape(b, t, v, 2, num_subset, inter_c)
-        theta, phi = emb[..., 0, :, :], emb[..., 1, :, :]
-        # transposed batched-matmul formulation: pack (T, Ce) into one
-        # contraction axis per (B, K) batch element — ~30x faster than the
-        # naive einsum lowering on TPU (PERF.md round 2,
-        # tools/bench_attn_forms.py)
-        th = jnp.transpose(theta, (0, 3, 2, 1, 4)).reshape(
-            b, num_subset, v, t * inter_c)
-        ph = jnp.transpose(phi, (0, 3, 2, 1, 4)).reshape(
-            b, num_subset, v, t * inter_c)
-        logits = jnp.einsum("bkvx,bkwx->bkvw", th, ph) / (inter_c * t)
+        # selectable logits formulation shared with UnitGCN
+        # (ops/gcn.attention_logits; 'transposed' is the round-2 winner)
+        logits = gcn_ops.attention_logits(emb, num_subset, inter_c,
+                                          self.attn_form)
         # softmax in fp32 for bf16 stability, result back in compute dtype
         att = jax.nn.softmax(logits.astype(jnp.float32), axis=-2)
         att = att.astype(compute.dtype)  # (B, K, V, V)
@@ -213,6 +206,7 @@ class GCNUnit(nn.Module):
     sync_axis: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
     formulation: str = "agg_packed"
+    attn_form: str = "transposed"    # ops/gcn.attention_logits
     edge_mesh: Any = None
 
     @nn.compact
@@ -223,6 +217,7 @@ class GCNUnit(nn.Module):
         if self.adaptive:
             y = gcn_cls(self.out_channels, inter_c, self.adj,
                         dtype=self.dtype, formulation=self.formulation,
+                        attn_form=self.attn_form,
                         edge_mesh=self.edge_mesh,
                         name="agcn")(x, train)
         else:
@@ -283,6 +278,7 @@ class TCNGCNUnit(nn.Module):
     sync_axis: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
     formulation: str = "agg_packed"
+    attn_form: str = "transposed"    # ops/gcn.attention_logits
     edge_mesh: Any = None
 
     @nn.compact
@@ -292,6 +288,7 @@ class TCNGCNUnit(nn.Module):
                     attention=self.attention, gbn_split=self.gbn_split,
                     sync_axis=self.sync_axis, dtype=self.dtype,
                     formulation=self.formulation,
+                    attn_form=self.attn_form,
                     edge_mesh=self.edge_mesh,
                     name="gcn1")(x, train)
         y = TCNUnit(self.out_channels, kernel_size=self.kernel_size,
@@ -384,6 +381,7 @@ class AAGCN(nn.Module):
     pad: bool = True         # default temporal-conv padding
     backbone_dim: Optional[int] = None  # channel width for plans >= 101
     formulation: str = "agg_packed"  # GCN formulation (ops/gcn.apply_gcn)
+    attn_form: str = "transposed"    # logits form (ops/gcn.attention_logits)
     sync_axis: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
     edge_mesh: Any = None  # Mesh with 'edge' axis: in-model edge partition
@@ -423,6 +421,7 @@ class AAGCN(nn.Module):
                            pad=self.pad if pad is None else pad,
                            gbn_split=self.gbn_split,
                            formulation=self.formulation,
+                           attn_form=self.attn_form,
                            edge_mesh=self.edge_mesh,
                            sync_axis=self.sync_axis, dtype=self.dtype,
                            name=name)(x, train)

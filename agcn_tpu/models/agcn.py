@@ -242,7 +242,10 @@ def _scan_blocks(n: int, name: str, **block_kwargs):
     """
     return nn.scan(
         _ScanBlockBody,
-        variable_axes={"params": 0, "batch_stats": 0},
+        # 'intermediates' too: without it the per-block adjacencies sown
+        # for the live demo (UnitGCN 'g') are silently dropped inside
+        # the scan; stacked along a leading scan axis instead
+        variable_axes={"params": 0, "batch_stats": 0, "intermediates": 0},
         split_rngs={"params": True, "dropout": True},
         in_axes=(nn.broadcast,),
         length=n,

@@ -84,6 +84,13 @@ def import_class(name: str):
 def build_model(name: str, model_args: Dict[str, Any],
                 edge_mesh=None):
     key = _ALIASES.get(name, name).lower()
+    if edge_mesh is not None and (key.startswith("sgn") or "." in name):
+        # fail loudly instead of silently replicating compute over the
+        # reserved 'edge' mesh axis (the aagcn-family guard lives in
+        # _build_agcn)
+        raise ValueError(
+            f"mesh_edge > 1 requires a model with in-model edge "
+            f"partitioning (agcn/aagcn families); got {name!r}")
     if key == "agcn":
         return _build_agcn(model_args, AGCN, edge_mesh)
     if key == "aagcn":

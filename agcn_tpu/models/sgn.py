@@ -1153,7 +1153,11 @@ class SGN(nn.Module):
         # pooling modules are created ONCE and applied per branch when
         # gcn_fpn_output_merge == 2 (reference sgn_v14.py:1004-1008
         # applies the shared self.tmp to every branch)
-        merge2 = self.gcn_fpn_output_merge == 2 and len(outs) > 1
+        # the reference keeps the branch LIST under merge mode 2 even
+        # when it has a single element — classification then goes
+        # through fc1, not fc (sgn_v14.py:996-999,1026-1034); gating on
+        # len(outs) would silently mis-route single-branch checkpoints
+        merge2 = self.gcn_fpn_output_merge == 2
         if merge2 and self.infogcn_noise_ratio is not None:
             raise ValueError(
                 "gcn_fpn_output_merge=2 has per-branch classifier heads "

@@ -168,7 +168,8 @@ def model_edge_gcn(x: jnp.ndarray, a1: jnp.ndarray, w: jnp.ndarray,
       x: (B, T, V, C) — replicated over 'edge' (shard batch over 'data').
       a1: (B, K, V, V) combined data-dependent adjacency (replicated).
       w: (K, C, Co) per-subset projection kernels (replicated).
-      mesh: mesh with an 'edge' axis of size P; T must be divisible by P.
+      mesh: mesh with an 'edge' axis of size P (T is zero-padded
+        internally to a multiple of P when needed).
     Returns:
       (B, T, V, Co), replicated over 'edge'; numerically identical to
       ops/gcn.apply_gcn(x, a1, w).
@@ -180,8 +181,14 @@ def model_edge_gcn(x: jnp.ndarray, a1: jnp.ndarray, w: jnp.ndarray,
     k = a1.shape[1]
     k_pad = -k % p
     per = (k + k_pad) // p
+    t_in = x.shape[1]
+    # time is batch-like in the aggregation, so ragged chunks are handled
+    # by zero-padding T up to a multiple of P and slicing the pad back
+    # off (stride-2 stages make T=300 -> 75, not divisible by P=2)
+    t_pad = -t_in % p
+    if t_pad:
+        x = jnp.pad(x, ((0, 0), (0, t_pad), (0, 0), (0, 0)))
     t_total = x.shape[1]
-    assert t_total % p == 0, f"T={t_total} not divisible by edge={p}"
     tc = t_total // p
     fwd = [(i, (i + 1) % p) for i in range(p)]
 
@@ -233,7 +240,8 @@ def model_edge_gcn(x: jnp.ndarray, a1: jnp.ndarray, w: jnp.ndarray,
                                                       axis=1)
         return out
 
-    return run(x, a1, w)
+    out = run(x, a1, w)
+    return out[:, :t_in] if t_pad else out
 
 
 def make_edge_partitioned_gcn(adj: np.ndarray, mesh: Mesh,

@@ -51,21 +51,34 @@ def save_checkpoint(path: str, tree: Dict[str, Any],
     global _async_ckptr
     try:
         import orbax.checkpoint as ocp
+    except ImportError:
+        # no orbax: degrade to the sync npz fallback below (for
+        # async_save too — losing async-ness beats killing the run at
+        # its FIRST save, epochs in)
+        import warnings
 
         if async_save:
-            if _async_ckptr is None:
-                _async_ckptr = ocp.AsyncCheckpointer(
-                    ocp.StandardCheckpointHandler())
-            _async_ckptr.save(os.path.abspath(path), args=ocp.args.
-                              StandardSave(tree), force=True)
+            warnings.warn("async_checkpoint requested but orbax is not "
+                          "installed; saving synchronously as npz")
+        ocp = None
+    if ocp is not None:
+        try:
+            if async_save:
+                if _async_ckptr is None:
+                    _async_ckptr = ocp.AsyncCheckpointer(
+                        ocp.StandardCheckpointHandler())
+                _async_ckptr.save(os.path.abspath(path), args=ocp.args.
+                                  StandardSave(tree), force=True)
+                return
+            ckptr = ocp.StandardCheckpointer()
+            ckptr.save(os.path.abspath(path), tree, force=True)
+            ckptr.wait_until_finished()
             return
-        ckptr = ocp.StandardCheckpointer()
-        ckptr.save(os.path.abspath(path), tree, force=True)
-        ckptr.wait_until_finished()
-        return
-    except Exception:
-        if async_save:
-            raise
+        except Exception:
+            if async_save:
+                # a REAL orbax failure mid-async-save should surface,
+                # not be silently papered over with npz
+                raise
     flat = {}
     for section, sub in tree.items():
         if isinstance(sub, dict):

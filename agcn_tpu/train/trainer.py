@@ -299,6 +299,10 @@ class Trainer:
         cands = []
         for name in os.listdir(ckpt_dir):
             tail = name.rsplit("_", 1)[-1]
+            # orbax dirs are 'epoch_N'; the npz fallback writes
+            # 'epoch_N.npz' — both must be resumable
+            if tail.endswith(".npz"):
+                tail = tail[:-len(".npz")]
             if tail.isdigit():
                 cands.append((int(tail), os.path.join(ckpt_dir, name)))
         if not cands:

@@ -30,6 +30,29 @@ def test_forward_shape_and_jit():
     assert np.all(np.isfinite(np.asarray(logits)))
 
 
+def test_scan_blocks_sow_all_adjacencies():
+    """scan_blocks=True must still expose all 10 per-block combined
+    adjacencies for the live demo: sown intermediates inside nn.scan are
+    only collected when 'intermediates' is in variable_axes (stacked
+    along a leading scan axis), otherwise they vanish silently."""
+    adj = build_adjacency("ntu_rgb_d")
+    model = AGCN(num_class=10, adj=adj, scan_blocks=True)
+    x = jnp.asarray(small_inputs(t=8))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    _, inter = model.apply(variables, x, train=False,
+                           mutable=["intermediates"])
+    n_blocks = 0
+    for leaf in jax.tree_util.tree_leaves(inter["intermediates"]):
+        g = np.asarray(leaf)
+        if g.ndim == 5:       # scanned group: (n, B, K, V, V)
+            n_blocks += g.shape[0]
+            assert g.shape[2:] == (3, 25, 25)
+        else:                 # unrolled block: (B, K, V, V)
+            assert g.shape[1:] == (3, 25, 25)
+            n_blocks += 1
+    assert n_blocks == 10
+
+
 def test_train_mode_updates_batch_stats():
     adj = build_adjacency("ntu_rgb_d")
     model = AGCN(num_class=10, adj=adj)

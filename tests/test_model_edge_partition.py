@@ -35,6 +35,19 @@ def test_matches_dense(inputs, edge):
                                atol=1e-4, rtol=1e-4)
 
 
+def test_matches_dense_ragged_time(inputs):
+    """T not divisible by P (the stride-2 stages make T=300 -> 75):
+    handled by internal zero-padding, not an assert."""
+    x, a1, w = inputs
+    x = x[:, :7]  # T=7 with edge=4
+    mesh = make_mesh(data=2, edge=4)
+    got = jax.jit(lambda *a: model_edge_gcn(*a, mesh=mesh))(x, a1, w)
+    want = gcn_ops.apply_gcn(x, a1, w, "agg")
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-4, rtol=1e-4)
+
+
 def test_gradients_match_dense(inputs):
     x, a1, w = inputs
     mesh = make_mesh(data=2, edge=4)
@@ -131,3 +144,10 @@ def test_registry_builds_edge_mesh_models():
     assert m2.edge_mesh is mesh
     with pytest.raises(ValueError, match="mesh_edge"):
         build_model("aagcn_v17", {"num_class": 5}, edge_mesh=mesh)
+    # models without an in-model edge partition must fail loudly, not
+    # silently replicate compute over the reserved 'edge' axis
+    with pytest.raises(ValueError, match="mesh_edge"):
+        build_model("sgn", {"num_class": 5}, edge_mesh=mesh)
+    with pytest.raises(ValueError, match="mesh_edge"):
+        build_model("agcn_tpu.models.AGCN", {"num_class": 5},
+                    edge_mesh=mesh)

@@ -178,6 +178,41 @@ def test_parity_output_merge2():
 
 
 @pytest.mark.skipif(not reference_available(), reason="reference not mounted")
+def test_parity_output_merge2_single_branch():
+    """merge mode 2 with ONE temporal branch still routes through fc1,
+    not fc — the reference keeps the list under merge==2 regardless of
+    its length (sgn_v14.py:996-999,1026-1034), so gating on branch count
+    would leave transplanted fc1 weights unused."""
+    import torch
+
+    from agcn_tpu.train.checkpoint import merge_params
+
+    overrides = dict(multi_t=[[], [], [3]], gcn_fpn_output_merge=2)
+    kwargs = {**V14_KWARGS, **overrides}
+    ref = _torch_sgn(**overrides).eval()
+    x_np = seg_inputs()
+    with torch.no_grad():
+        ref_logits = ref(torch.from_numpy(x_np))[0].numpy()
+
+    model = SGN(
+        num_class=kwargs["num_class"], use_bias=bool(kwargs["bias"]),
+        multi_t=((), (), (3,)), gcn_fpn_output_merge=2,
+        dropout2d=kwargs["dropout2d"])
+    base = model.init(jax.random.PRNGKey(0), jnp.asarray(x_np),
+                      train=False)
+    assert "fc1" in base["params"] and "fc" not in base["params"]
+    loaded = sgn_variables_from_torch(ref.state_dict())
+    variables = {
+        "params": merge_params(base["params"], loaded["params"]),
+        "batch_stats": merge_params(base.get("batch_stats", {}),
+                                    loaded.get("batch_stats", {})),
+    }
+    ours, _ = model.apply(variables, jnp.asarray(x_np), train=False)
+    np.testing.assert_allclose(np.asarray(ours), ref_logits,
+                               atol=3e-4, rtol=3e-4)
+
+
+@pytest.mark.skipif(not reference_available(), reason="reference not mounted")
 @pytest.mark.parametrize("attn2", [0, 10])
 def test_parity_gcn_fpn10_second_stack(attn2):
     """gcn_fpn=10: the second GCN stack (GCNSpatialBlock2) with reused

@@ -265,6 +265,39 @@ def test_auto_resume_and_async_checkpoint(tmp_path):
     assert "epoch_4" in {c.replace(".npz", "") for c in ckpts}
 
 
+def test_auto_resume_from_npz_fallback(tmp_path, monkeypatch):
+    """Without orbax the checkpoints are 'epoch_N.npz' files — auto
+    resume must find them too (and async_checkpoint must degrade to a
+    sync npz save with a warning instead of raising at the FIRST save,
+    epochs into the run)."""
+    import sys
+    import warnings
+
+    from agcn_tpu.train.trainer import Trainer
+
+    # make `import orbax.checkpoint` raise ImportError
+    monkeypatch.setitem(sys.modules, "orbax", None)
+    monkeypatch.setitem(sys.modules, "orbax.checkpoint", None)
+
+    dp, lp = _dense_data(tmp_path)
+    cfg = _make_cfg(tmp_path, dp, lp, num_epoch=2, save_interval=2,
+                    async_checkpoint=True)
+    t1 = Trainer(cfg)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")  # async->sync degrade warning
+        t1.start()
+    ckpts = os.listdir(os.path.join(cfg.work_dir, "checkpoints"))
+    assert any(c.endswith(".npz") for c in ckpts)
+
+    cfg2 = _make_cfg(tmp_path, dp, lp, num_epoch=4, save_interval=2,
+                     auto_resume=True)
+    t2 = Trainer(cfg2)
+    assert cfg2.start_epoch == 2  # resumed from epoch_2.npz
+    p1 = np.asarray(t1.state.params["fc"]["kernel"])
+    p2 = np.asarray(t2.state.params["fc"]["kernel"])
+    np.testing.assert_allclose(p1, p2, atol=0)
+
+
 def test_two_stream_workflow_end_to_end(tmp_path):
     """The full 2s-AGCN production workflow: train the joint and bone
     streams separately (reference §3.3), then fuse their saved score
