@@ -451,9 +451,15 @@ class Trainer:
         self._loss_fn = loss_fn
 
         def compile_step(fn):
+            # donate the input TrainState: the loop replaces it with the
+            # step's output (self.state = step(self.state, ...)), so XLA
+            # can update params/opt-state in place instead of allocating
+            # a second copy — on TPU this removes a full state-sized
+            # HBM round-trip per step (the benches in tools/ already
+            # measure with donation; this aligns the product path)
             if self.n_data_shards > 1:
-                return jit_data_parallel(fn, self.mesh, donate_state=False)
-            return jax.jit(fn)
+                return jit_data_parallel(fn, self.mesh, donate_state=True)
+            return jax.jit(fn, donate_argnums=(0,))
 
         self._train_step = compile_step(base_step)
         # PA frozen while epoch <= only_train_epoch

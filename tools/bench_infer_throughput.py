@@ -55,8 +55,10 @@ def bench_sgn(batch, steps=50):
 
 
 if __name__ == "__main__":
-    for b in (64, 256):
-        print(f"agcn infer batch {b}: {bench_agcn(b):.0f} seq/s",
-              flush=True)
-    for b in (256, 1024):
-        print(f"sgn infer batch {b}: {bench_sgn(b):.0f} seq/s", flush=True)
+    # optional CLI specs: `agcn:512 sgn:2048` (default: the PERF.md table)
+    specs = [(s.split(":")[0], int(s.split(":")[1]))
+             for s in sys.argv[1:]] or \
+        [("agcn", 64), ("agcn", 256), ("sgn", 256), ("sgn", 1024)]
+    for kind, b in specs:
+        fn = bench_agcn if kind == "agcn" else bench_sgn
+        print(f"{kind} infer batch {b}: {fn(b):.0f} seq/s", flush=True)
