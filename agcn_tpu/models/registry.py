@@ -33,6 +33,11 @@ _ALIASES = {
     "model.architecture.sgn.sgn_v14.SGN": "sgn",
     "model.sgn_v15.SGN": "sgn_transformer",
     "model.architecture.sgn.sgn_v15.SGN": "sgn_transformer",
+    # the original microsoft/SGN — archived in the reference but still
+    # referenced by shipped openpose recipes (train_joint_sgn.yaml)
+    "model.sgn.SGN": "sgn_original",
+    "model.architecture.sgn.sgn.SGN": "sgn_original",
+    "model.architecture.sgn.archiv.sgn.SGN": "sgn_original",
     "model.aagcn_v37.Model": "aagcn_transformer",
     "model.architecture.aagcn.aagcn_v37.Model": "aagcn_transformer",
     # version-faithful variants (models/aagcn_versions.py)
@@ -110,6 +115,13 @@ def build_model(name: str, model_args: Dict[str, Any],
                "aagcn_v30": AAGCNv30, "aagcn_v31": AAGCNv31,
                "aagcn_v34": AAGCNv34}[key]
         return _build_agcn(model_args, cls, edge_mesh)
+    if key == "sgn_original":
+        from agcn_tpu.models.sgn_original import SGNOriginal
+
+        args = dict(model_args)
+        if "bias" in args:
+            args["use_bias"] = bool(args.pop("bias"))
+        return SGNOriginal(**args)
     if key == "sgn_transformer":
         args = dict(model_args)
         if "bias" in args:

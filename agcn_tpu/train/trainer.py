@@ -234,7 +234,11 @@ class Trainer:
         sd = torch.load(path, map_location="cpu", weights_only=True)
         if hasattr(sd, "state_dict"):
             sd = sd.state_dict()
-        name = self.cfg.model.lower()
+        from agcn_tpu.models.registry import _ALIASES
+
+        name = _ALIASES.get(self.cfg.model, self.cfg.model).lower()
+        if name == "sgn_original":
+            return ti.sgn_original_variables_from_torch(sd)
         if "sgn" in name:
             return ti.sgn_variables_from_torch(sd)
         if "aagcn" in name:

@@ -668,3 +668,58 @@ def agcn_variables_from_torch(sd: Mapping[str, Any],
                 sd, f"{block}.residual.bn")
 
     return tree
+
+
+def sgn_original_variables_from_torch(sd: Mapping[str, Any]
+                                      ) -> Dict[str, Dict]:
+    """Map the ORIGINAL microsoft/SGN state_dict (reference
+    model/architecture/sgn/archiv/sgn.py) onto models/sgn_original.py.
+
+    Reference naming: embed blocks are Sequentials — with the input norm
+    the convs sit at indices 1/3 (archiv/sgn.py:124-131), without it at
+    0/2 (:133-139); gcn W/W1 are `cnn1x1` wrappers (:184-189); the
+    frame-level convs live under `cnn.` (local, :155-163).
+    """
+    sd = state_dict_to_numpy(sd)
+    tree: Dict[str, Dict] = {"params": {}, "batch_stats": {}}
+
+    def dense(torch_prefix, flax_path):
+        _set(tree["params"], flax_path + ("kernel",),
+             pointwise_kernel(sd[f"{torch_prefix}.weight"]))
+        if f"{torch_prefix}.bias" in sd:
+            _set(tree["params"], flax_path + ("bias",),
+                 sd[f"{torch_prefix}.bias"])
+
+    for t_name, f_name, normed in (("joint_embed", "pos_embed", True),
+                                   ("dif_embed", "dif_embed", True),
+                                   ("spa_embed", "spa_embed", False),
+                                   ("tem_embed", "tem_embed", False)):
+        i = 0
+        if normed:
+            _bn(tree, (f_name, "in_norm"), (f_name, "in_norm"), sd,
+                f"{t_name}.cnn.0.bn")
+            i = 1
+        dense(f"{t_name}.cnn.{i}.cnn", (f_name, "cnn1", "conv"))
+        dense(f"{t_name}.cnn.{i + 2}.cnn", (f_name, "cnn2", "conv"))
+
+    dense("compute_g1.g1.cnn", ("g1", "conv"))
+    dense("compute_g1.g2.cnn", ("g2", "conv"))
+
+    for i in (1, 2, 3):
+        dense(f"gcn{i}.w.cnn", (f"gcn{i}", "w"))
+        dense(f"gcn{i}.w1.cnn", (f"gcn{i}", "w1", "conv"))
+        _bn(tree, (f"gcn{i}", "norm"), (f"gcn{i}", "norm"), sd,
+            f"gcn{i}.bn")
+
+    # local block: 1x3 temporal conv then 1x1 (archiv/sgn.py:155-163)
+    _set(tree["params"], ("t_cnn1", "kernel"),
+         np.transpose(sd["cnn.cnn1.weight"], (3, 2, 1, 0)))
+    if "cnn.cnn1.bias" in sd:
+        _set(tree["params"], ("t_cnn1", "bias"), sd["cnn.cnn1.bias"])
+    _bn(tree, ("t_norm1",), ("t_norm1",), sd, "cnn.bn1")
+    dense("cnn.cnn2", ("t_cnn2", "conv"))
+    _bn(tree, ("t_norm2",), ("t_norm2",), sd, "cnn.bn2")
+
+    _set(tree["params"], ("fc", "kernel"), linear_kernel(sd["fc.weight"]))
+    _set(tree["params"], ("fc", "bias"), sd["fc.bias"])
+    return tree
