@@ -1,0 +1,146 @@
+"""Multi-stream batched serving engine.
+
+The reference's deployment story is one `ActionRecognition` per camera
+(infer/inference.py:47-113) — one tiny forward per stream per tick. On
+TPU that shape is the worst case: each dispatch pays the ~1.4 ms program
+floor and a batch-1 forward leaves the MXU almost idle, while the same
+model at batch 64+ runs two orders of magnitude more sequences per
+second (PERF.md serving table). This engine is the TPU-idiomatic
+formulation of the same capability: N independent skeleton streams are
+multiplexed into ONE fixed-shape jitted forward per tick.
+
+Design rules:
+- the batch dimension is STATIC (`max_streams` x `multi_test` crops):
+  one compiled program regardless of how many streams are live; empty
+  slots are zero-padded and their outputs discarded.
+- per-stream state (ring buffer, smoothing, energy-based skeleton
+  selection, normalization) stays on the host in numpy, exactly like the
+  single-stream recognizer — the device only ever sees the batched
+  tensor.
+- per-stream semantics (multi-crop averaging, class filtering, softmax)
+  match `ActionRecognition.predict` bit-for-bit; a batched tick over K
+  live streams returns the same answers as K single-stream predicts.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from agcn_tpu.data.sgn_collate import SegmentSampler
+from agcn_tpu.infer.preprocess import InferencePreprocessor
+from agcn_tpu.infer.realtime import filter_logits
+
+
+class BatchedStreamServer:
+    """Serve many skeleton streams with one padded batched forward."""
+
+    def __init__(self,
+                 model,
+                 variables,
+                 max_streams: int,
+                 kind: str = "dense",           # 'dense' | 'sgn'
+                 num_joint: int = 25,
+                 max_seq_length: int = 300,
+                 max_person: int = 4,
+                 moving_avg: int = 1,
+                 num_skels: int = 2,
+                 normalize: bool = True,
+                 multi_test: int = 1,
+                 allowed_classes: Optional[Sequence[int]] = None,
+                 sgn_dataloader_args: Optional[Dict] = None):
+        if max_streams < 1:
+            raise ValueError("max_streams must be >= 1")
+        self.kind = kind
+        self.max_streams = max_streams
+        self.num_skels = num_skels
+        self.normalize = normalize
+        self.multi_test = multi_test
+        self.allowed_classes = allowed_classes
+        self._pp_kwargs = dict(num_joint=num_joint,
+                               max_seq_length=max_seq_length,
+                               max_person=max_person,
+                               moving_avg=moving_avg)
+        self._sgn_args = dict(sgn_dataloader_args or {})
+        self.variables = variables
+        self._forward = jax.jit(
+            lambda v, x: model.apply(v, x, train=False))
+        self._streams: Dict[int, InferencePreprocessor] = {}
+        self._rngs: Dict[int, np.random.Generator] = {}
+        self._next_id = 0
+        self._pad_row: Optional[np.ndarray] = None
+        self.last_latency_ms = 0.0
+
+    # -- stream lifecycle --------------------------------------------
+
+    def add_stream(self, stream_id: Optional[int] = None) -> int:
+        if len(self._streams) >= self.max_streams:
+            raise RuntimeError(
+                f"server at capacity ({self.max_streams} streams)")
+        sid = self._next_id if stream_id is None else stream_id
+        if sid in self._streams:
+            raise ValueError(f"stream {sid} already exists")
+        self._next_id = max(self._next_id, sid) + 1
+        sampler = None
+        if self.kind == "sgn":
+            sampler = SegmentSampler(multi_test=self.multi_test,
+                                     **self._sgn_args)
+        self._streams[sid] = InferencePreprocessor(
+            sgn_sampler=sampler, **self._pp_kwargs)
+        # per-stream RNG stream: deterministic and independent of the
+        # set of other live streams (same rule as the data pipeline)
+        self._rngs[sid] = np.random.default_rng(sid)
+        return sid
+
+    def remove_stream(self, stream_id: int) -> None:
+        self._streams.pop(stream_id)
+        self._rngs.pop(stream_id)
+
+    def append_frame(self, stream_id: int, frame: np.ndarray) -> None:
+        """frame: (M, 1, V, C) joints for the stream's current step."""
+        self._streams[stream_id].append(frame)
+
+    # -- inference ----------------------------------------------------
+
+    def _stream_input(self, sid: int) -> np.ndarray:
+        pp = self._streams[sid]
+        if self.kind == "sgn":
+            return pp.sgn_input(self.num_skels, normalize=self.normalize,
+                                multi_crop=self.multi_test > 1,
+                                rng=self._rngs[sid])
+        return pp.dense_input(self.num_skels, normalize=self.normalize)
+
+    def predict(self) -> Dict[int, Tuple[int, np.ndarray]]:
+        """One batched forward over all live streams ->
+        {stream_id: (label, probabilities)}."""
+        t0 = time.perf_counter()
+        sids = sorted(self._streams)
+        if not sids:
+            return {}
+        rows = [self._stream_input(sid) for sid in sids]
+        per = rows[0].shape[0]  # crops per stream (1 for dense)
+        x = np.concatenate(rows, axis=0)
+        # zero-pad to the static program shape
+        if self._pad_row is None or \
+                self._pad_row.shape != rows[0].shape:
+            self._pad_row = np.zeros_like(rows[0])
+        pads = self.max_streams - len(sids)
+        if pads:
+            x = np.concatenate([x] + [self._pad_row] * pads, axis=0)
+        out = self._forward(self.variables, jnp.asarray(x))
+        logits = np.asarray(out[0] if isinstance(out, tuple) else out)
+        logits = logits[: len(sids) * per]
+        if per > 1:  # multi-crop averaging (reference processor.py:546-548)
+            logits = logits.reshape(len(sids), per, -1).mean(axis=1)
+        results: Dict[int, Tuple[int, np.ndarray]] = {}
+        for i, sid in enumerate(sids):
+            li = filter_logits(logits[i], self.allowed_classes)
+            probs = np.exp(li - li.max())
+            probs = probs / probs.sum()
+            results[sid] = (int(probs.argmax()), probs)
+        self.last_latency_ms = (time.perf_counter() - t0) * 1e3
+        return results

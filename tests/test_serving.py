@@ -1,0 +1,106 @@
+"""Batched multi-stream serving engine (infer/serving.py): per-stream
+answers must match the single-stream recognizer, and the batched program
+shape must be static regardless of how many streams are live."""
+
+import jax
+import numpy as np
+import pytest
+
+from agcn_tpu.graph import build_adjacency
+from agcn_tpu.infer.realtime import ActionRecognition
+from agcn_tpu.infer.serving import BatchedStreamServer
+from agcn_tpu.models.agcn import AGCN
+from agcn_tpu.models.sgn import SGN
+
+
+def _frames(seed, n_frames=24, v=25):
+    rng = np.random.default_rng(seed)
+    return [rng.standard_normal((1, 1, v, 3)).astype(np.float32) * 0.2
+            for _ in range(n_frames)]
+
+
+@pytest.fixture(scope="module")
+def agcn_model():
+    adj = build_adjacency("ntu_rgb_d")
+    model = AGCN(num_class=7, adj=adj)
+    x = np.zeros((1, 3, 32, 25, 2), np.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    return model, variables
+
+
+def test_batched_matches_single_stream(agcn_model):
+    model, variables = agcn_model
+    kwargs = dict(kind="dense", max_seq_length=32, moving_avg=2)
+    server = BatchedStreamServer(model, variables, max_streams=4, **kwargs)
+    singles = {}
+    for seed in (0, 1, 2):
+        sid = server.add_stream()
+        single = ActionRecognition(model, variables, **kwargs)
+        for f in _frames(seed):
+            server.append_frame(sid, f)
+            single.append_frame(f)
+        singles[sid] = single
+    batched = server.predict()
+    assert set(batched) == set(singles)
+    for sid, single in singles.items():
+        label_s, probs_s = single.predict()
+        label_b, probs_b = batched[sid]
+        assert label_b == label_s
+        np.testing.assert_allclose(probs_b, probs_s, atol=1e-5, rtol=1e-5)
+
+
+def test_padding_invariance(agcn_model):
+    """A stream's answer must not depend on how many OTHER slots are
+    live — zero-padded slots and live streams share one program."""
+    model, variables = agcn_model
+    kwargs = dict(kind="dense", max_seq_length=32)
+    s1 = BatchedStreamServer(model, variables, max_streams=4, **kwargs)
+    sid = s1.add_stream()
+    for f in _frames(5):
+        s1.append_frame(sid, f)
+    alone = s1.predict()[sid]
+
+    s2 = BatchedStreamServer(model, variables, max_streams=4, **kwargs)
+    sid2 = s2.add_stream()
+    others = [s2.add_stream() for _ in range(3)]
+    for f in _frames(5):
+        s2.append_frame(sid2, f)
+    for i, o in enumerate(others):
+        for f in _frames(10 + i):
+            s2.append_frame(o, f)
+    crowded = s2.predict()[sid2]
+    assert alone[0] == crowded[0]
+    np.testing.assert_allclose(alone[1], crowded[1], atol=1e-5, rtol=1e-5)
+
+
+def test_capacity_and_lifecycle(agcn_model):
+    model, variables = agcn_model
+    server = BatchedStreamServer(model, variables, max_streams=2,
+                                 kind="dense", max_seq_length=32)
+    a = server.add_stream()
+    b = server.add_stream()
+    with pytest.raises(RuntimeError, match="capacity"):
+        server.add_stream()
+    server.remove_stream(a)
+    c = server.add_stream()
+    assert c not in (a, b)  # ids are never reused
+    assert len(server.predict()) == 2  # empty buffers still serve
+
+
+def test_sgn_streams_multi_crop():
+    model = SGN(num_class=5)
+    x = np.zeros((1, 20, 75), np.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    server = BatchedStreamServer(
+        model, variables, max_streams=3, kind="sgn", max_seq_length=48,
+        multi_test=5, sgn_dataloader_args=dict(seg=20))
+    sids = [server.add_stream() for _ in range(2)]
+    for i, sid in enumerate(sids):
+        for f in _frames(i, n_frames=40):
+            server.append_frame(sid, f)
+    out = server.predict()
+    assert set(out) == set(sids)
+    for label, probs in out.values():
+        assert probs.shape == (5,)
+        assert np.isfinite(probs).all()
+        assert 0 <= label < 5
