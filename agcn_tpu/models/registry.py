@@ -172,6 +172,15 @@ def build_model(name: str, model_args: Dict[str, Any],
             args["c_multiplier"] = (args["c_multiplier"],) * 4
         return SGN(**args)
     if "." in name:
+        if name.startswith("model."):
+            # a reference dotted path we did NOT alias: an archived
+            # experiment (aagcn v2-v28, sgn v2-v10 — reference archiv/
+            # dirs, explicit non-goals). Fail with the situation spelled
+            # out instead of an ImportError from a missing torch module.
+            raise KeyError(
+                f"{name!r} is an archived reference experiment with no "
+                f"equivalent here; supported reference paths: "
+                f"{sorted(k for k in _ALIASES if k.startswith('model.'))}")
         # user plug-in: dotted path to a flax Module class/factory
         cls = import_class(name)
         return cls(**model_args)
