@@ -157,8 +157,17 @@ class Trainer:
     def _load_model(self):
         cfg = self.cfg
         model_args = dict(cfg.model_args)
-        if cfg.compute_dtype == "bfloat16" and "sgn" not in cfg.model.lower():
-            model_args.setdefault("dtype", jnp.bfloat16)
+        if cfg.compute_dtype == "bfloat16":
+            if "sgn" in cfg.model.lower():
+                # SGN runs fp32: at its size bf16 buys nothing (already
+                # ~19k seq/s train, tiny activations) and the model has
+                # no dtype plumbing — say so instead of silently no-oping
+                # the config knob
+                self.print_log(
+                    "compute_dtype bfloat16 is not supported by the SGN "
+                    "families; running float32")
+            else:
+                model_args.setdefault("dtype", jnp.bfloat16)
         # mesh_edge > 1: construct the model with in-model edge
         # partitioning so the 'edge' mesh axis carries real compute
         # (parallel/edge_partition.model_edge_gcn), not replication
