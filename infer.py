@@ -96,6 +96,53 @@ def iter_stream_files(path: str, follow: bool, poll_s: float = 0.5,
             _t.sleep(poll_s)
 
 
+def _serve(args, model, variables, kind, num_joint, multi_test, cfg):
+    """Multi-stream serving loop: each file in --input is one live
+    stream; all streams advance in lock-step and every --interval frames
+    ONE batched forward answers all of them (infer/serving.py)."""
+    from agcn_tpu.infer.serving import BatchedStreamServer
+
+    server = BatchedStreamServer(
+        model, variables, max_streams=args.serve, kind=kind,
+        num_joint=num_joint, max_seq_length=args.max_frame,
+        moving_avg=args.moving_avg, max_person=args.max_num_skeleton,
+        num_skels=args.max_num_skeleton_true,
+        normalize=args.aagcn_normalize,
+        allowed_classes=args.allowed_classes, multi_test=multi_test,
+        sgn_dataloader_args=cfg.test_dataloader_args
+        if kind == "sgn" else None)
+    files = list(iter_stream_files(args.input, follow=False))[:args.serve]
+    if not files:
+        raise FileNotFoundError(f"no input files under {args.input}")
+    streams = {}
+    for f in files:
+        sid = server.add_stream()
+        streams[sid] = (os.path.splitext(os.path.basename(f))[0],
+                        load_frames(f, num_joint))
+    step = 0
+    while streams:
+        done = []
+        for sid, (tag, frames) in streams.items():
+            frame = next(frames, None)
+            if frame is None:
+                done.append(sid)
+            else:
+                server.append_frame(sid, frame.astype(np.float32))
+        for sid in done:
+            del streams[sid]
+            server.remove_stream(sid)
+        step += 1
+        if streams and step % args.interval == 0:
+            results = server.predict()
+            for sid, (label, probs) in sorted(results.items()):
+                line = (f"[{streams[sid][0]}] frame {step}: "
+                        f"class {label} p={probs[label]:.3f}")
+                print(line, flush=True)
+            if args.timing:
+                print(f"tick: {len(results)} streams in "
+                      f"{server.last_latency_ms:.1f} ms", flush=True)
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--config", required=True)
@@ -137,6 +184,11 @@ def main(argv=None):
                    help="write per-frame predictions to <dir>/results.txt")
     p.add_argument("--device", type=str, default=None,
                    help="cpu|tpu|gpu: JAX platform override (like main.py)")
+    p.add_argument("--serve", type=int, default=0, metavar="N",
+                   help="multi-stream mode: treat the files in --input "
+                        "(a directory) as up to N concurrent streams, "
+                        "served in lock-step by ONE batched forward per "
+                        "tick (agcn_tpu/infer/serving.py)")
     args = p.parse_args(argv)
     if not args.weights and not args.weights_dir:
         p.error("--weights or --weights-dir required")
@@ -162,6 +214,12 @@ def main(argv=None):
     multi_test = args.multi_test if args.multi_test is not None else (
         cfg.test_dataloader_args.get("multi_test", 1)
         if kind == "sgn" else 1)
+    if args.serve:
+        if not os.path.isdir(args.input):
+            p.error("--serve requires --input to be a directory")
+        return _serve(args, model, variables, kind, num_joint, multi_test,
+                      cfg)
+
     rec = ActionRecognition(
         model, variables, kind=kind, num_joint=num_joint,
         max_seq_length=args.max_frame, moving_avg=args.moving_avg,

@@ -135,3 +135,39 @@ def test_live_demo_surface(tmp_path):
     rec.predict()
     assert rec.last_attention and len(rec.last_attention) == 10
     assert rec.last_attention[0].shape == (3, 25, 25)
+
+
+def test_serve_mode_cli(tmp_path, capsys):
+    """infer.py --serve: a directory of recordings served as concurrent
+    streams by one batched forward per tick."""
+    import numpy as np
+    import yaml
+
+    import infer as infer_cli
+    from agcn_tpu.graph import build_adjacency
+    from agcn_tpu.models import AGCN
+    from agcn_tpu.train.checkpoint import save_checkpoint
+
+    adj = build_adjacency("ntu_rgb_d")
+    model = AGCN(num_class=4, adj=adj)
+    x = np.zeros((1, 3, 16, 25, 2), np.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x),
+                           train=False)
+    ckpt = tmp_path / "epoch_1.npz"
+    save_checkpoint(str(ckpt), {"params": variables["params"],
+                                "batch_stats": variables["batch_stats"]})
+    cfg = tmp_path / "cfg.yaml"
+    cfg.write_text(yaml.safe_dump(dict(
+        model="agcn", model_args=dict(num_class=4, graph="ntu_rgb_d"))))
+    d = tmp_path / "streams"
+    d.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(2):
+        np.save(d / f"cam{i}.npy",
+                rng.standard_normal((1, 3, 12, 25, 2)).astype(np.float32))
+    infer_cli.main(["--config", str(cfg), "--weights", str(ckpt),
+                    "--input", str(d), "--serve", "3", "--interval", "6",
+                    "--max-frame", "16", "--timing"])
+    out = capsys.readouterr().out
+    assert "[cam0] frame 6" in out and "[cam1] frame 6" in out
+    assert "2 streams in" in out
