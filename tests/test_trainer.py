@@ -327,3 +327,25 @@ def test_two_stream_workflow_end_to_end(tmp_path):
                      "--joint-score", streams["joint"],
                      "--bone-score", streams["bone"]])
     assert accs[1] >= joint_acc - 1e-9  # top-1 of the fused streams
+
+
+def test_kinetics_family_end_to_end(tmp_path):
+    """18-joint Kinetics-Skeleton family through the Trainer, with the
+    recipe's shape (configs/kinetics/train_joint.yaml: kinetics graph,
+    aug flags, bfloat16 compute) at test scale."""
+    from agcn_tpu.train.trainer import Trainer
+
+    dp, lp = _dense_data(tmp_path, v=18)
+    cfg = _make_cfg(
+        tmp_path, dp, lp,
+        model_args={"num_class": 4, "num_point": 18,
+                    "graph": "kinetics",
+                    "graph_args": {"labeling_mode": "spatial"}},
+        compute_dtype="bfloat16")
+    cfg.train_feeder_args.update(dataset="kinetics", random_choose=True,
+                                 random_move=True)
+    tr = Trainer(cfg)
+    tr.start()
+    assert tr.best_acc > 0.0
+    # eval artifacts exist for the family
+    assert os.listdir(os.path.join(cfg.work_dir, "score"))
