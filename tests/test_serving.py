@@ -104,3 +104,24 @@ def test_sgn_streams_multi_crop():
         assert probs.shape == (5,)
         assert np.isfinite(probs).all()
         assert 0 <= label < 5
+
+
+def test_sgn_batched_matches_single_stream():
+    """SGN path exact equivalence: stream id 0 uses rng(0) — the same
+    stream the single recognizer draws — so multi-crop sampling and the
+    batched forward must reproduce the single-stream answer exactly."""
+    model = SGN(num_class=6)
+    x = np.zeros((1, 20, 75), np.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    kwargs = dict(kind="sgn", max_seq_length=48, multi_test=5,
+                  sgn_dataloader_args=dict(seg=20))
+    server = BatchedStreamServer(model, variables, max_streams=2, **kwargs)
+    sid = server.add_stream(stream_id=0)
+    single = ActionRecognition(model, variables, **kwargs)
+    for f in _frames(7, n_frames=40):
+        server.append_frame(sid, f)
+        single.append_frame(f)
+    label_b, probs_b = server.predict()[sid]
+    label_s, probs_s = single.predict()
+    assert label_b == label_s
+    np.testing.assert_allclose(probs_b, probs_s, atol=1e-5, rtol=1e-5)
