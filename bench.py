@@ -171,7 +171,30 @@ def bench_torch_baseline(steps: int = 2) -> float:
         return 0.0
 
 
+def _ensure_platform() -> str:
+    """The axon TPU backend blocks INDEFINITELY at init when the tunnel
+    is down (observed: backend init UNAVAILABLE after a 30-min hang).
+    Probe it in a subprocess with a timeout so an outage degrades to a
+    CPU-labelled measurement instead of a bench that never returns."""
+    import subprocess
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; jax.devices(); print(jax.default_backend())"],
+            timeout=300, capture_output=True, text=True)
+        if r.returncode == 0 and r.stdout.strip():
+            return r.stdout.strip().splitlines()[-1]
+    except subprocess.TimeoutExpired:
+        pass
+    print("# TPU backend unavailable; falling back to CPU",
+          file=sys.stderr)
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    return "cpu-fallback"
+
+
 def main():
+    platform = _ensure_platform()
     ours = bench_ours()
     base = bench_torch_baseline()
     vs = ours / base if base > 0 else 0.0
@@ -195,6 +218,7 @@ def main():
         "unit": "seq/s",
         "vs_baseline": round(vs, 2),
         "vs_baseline_kind": "vs_torch_cpu",
+        "platform": platform,
         **extras,
     }))
 

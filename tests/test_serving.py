@@ -125,3 +125,25 @@ def test_sgn_batched_matches_single_stream():
     label_s, probs_s = single.predict()
     assert label_b == label_s
     np.testing.assert_allclose(probs_b, probs_s, atol=1e-5, rtol=1e-5)
+
+
+def test_threaded_preprocessing_matches(agcn_model):
+    """>4 live streams route host preprocessing through the thread pool
+    — answers must be identical to the sequential path."""
+    model, variables = agcn_model
+    kwargs = dict(kind="dense", max_seq_length=32)
+    server = BatchedStreamServer(model, variables, max_streams=6, **kwargs)
+    singles = {}
+    for seed in range(6):
+        sid = server.add_stream()
+        single = ActionRecognition(model, variables, **kwargs)
+        for f in _frames(seed):
+            server.append_frame(sid, f)
+            single.append_frame(f)
+        singles[sid] = single
+    batched = server.predict()
+    assert server._pool is not None  # the threaded path actually ran
+    for sid, single in singles.items():
+        _, probs_s = single.predict()
+        np.testing.assert_allclose(batched[sid][1], probs_s,
+                                   atol=1e-5, rtol=1e-5)
