@@ -195,16 +195,19 @@ def _ensure_platform() -> str:
 
 def main():
     platform = _ensure_platform()
-    ours = bench_ours()
+    fallback = platform == "cpu-fallback"
+    # fallback numbers are diagnostic only — keep the run short so the
+    # driver's own timeout can't kill it before the JSON line appears
+    ours = bench_ours(steps=3 if fallback else 20)
     base = bench_torch_baseline()
     vs = ours / base if base > 0 else 0.0
     # secondary family metrics so per-family regressions are visible in
     # BENCH_r*.json (PERF.md tracks all four)
     extras = {}
-    for name, fn in (("aagcn_seq_per_sec", bench_aagcn),
-                     ("sgn_seq_per_sec", bench_sgn)):
+    for name, fn, quick in (("aagcn_seq_per_sec", bench_aagcn, 3),
+                            ("sgn_seq_per_sec", bench_sgn, 10)):
         try:
-            extras[name] = round(fn(), 2)
+            extras[name] = round(fn(steps=quick) if fallback else fn(), 2)
         except Exception as e:  # a family bench must not sink the headline
             print(f"# {name} failed: {e}", file=sys.stderr)
     # semantic edge-message rate, derived from the AGCN step rate:
