@@ -157,6 +157,16 @@ class SGNOriginal(nn.Module):
         # frame-level module (archiv/sgn.py:90-91, local :155-178)
         y = y + tem
         y = jnp.max(y, axis=2, keepdims=True)  # spatial maxpool (B,T,1,C)
+        if t != self.seg:
+            # AdaptiveMaxPool2d((1, seg)) window semantics for T != seg
+            # (torch window i = [floor(i*T/s), ceil((i+1)*T/s))). The
+            # reference CRASHES before reaching this case (seg-sized
+            # one-hot tables, archiv/sgn.py:83 — regression-pinned in
+            # tests), so this is a graceful generalization, not parity.
+            y = jnp.stack(
+                [jnp.max(y[:, (i * t) // self.seg:
+                           -(-((i + 1) * t) // self.seg)], axis=1)
+                 for i in range(self.seg)], axis=1)
         y = nn.Conv(C3, kernel_size=(3, 1), padding=((1, 1), (0, 0)),
                     use_bias=self.use_bias,
                     kernel_init=init.kaiming_normal_fan_out,

@@ -99,3 +99,26 @@ def test_transplant_covers_all_reference_params(monkeypatch):
     loaded = sgn_original_variables_from_torch(ref.state_dict())
     n_ours = len(jax.tree_util.tree_leaves(loaded))
     assert n_ours == n_ref
+
+
+@pytest.mark.skipif(not reference_available(), reason="reference not mounted")
+def test_t_not_equal_seg(monkeypatch):
+    """T != seg is broken-as-shipped upstream: the one-hot tables are
+    seg-sized at construction, so the reference crashes at the
+    spa-concat (archiv/sgn.py:83) before its AdaptiveMaxPool2d((1, seg))
+    could ever see T != seg. Ours generalizes gracefully — per-input
+    tables plus the torch-documented adaptive T->seg maxpool windows."""
+    import torch
+
+    ref = _torch_original(monkeypatch, num_class=10, seg=20).eval()
+    x_np = seg_inputs(t=30, seed=5)
+    with pytest.raises(RuntimeError, match="Sizes of tensors"):
+        with torch.no_grad():
+            ref(torch.from_numpy(x_np))
+
+    model = SGNOriginal(num_class=10, seg=20)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x_np),
+                           train=False)
+    ours, g = model.apply(variables, jnp.asarray(x_np), train=False)
+    assert ours.shape == (3, 10) and g.shape == (3, 30, 25, 25)
+    assert np.all(np.isfinite(np.asarray(ours)))
