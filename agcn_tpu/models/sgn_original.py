@@ -113,6 +113,9 @@ class SGNOriginal(nn.Module):
     in_channels: int = 3
     seg: int = 20
     use_bias: bool = True
+    dropout: float = 0.2  # the reference hardcodes Dropout2d(0.2)
+    #                       (archiv/sgn.py:168); knob kept for dynamics
+    #                       tests and ablations
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False):
@@ -173,9 +176,9 @@ class SGNOriginal(nn.Module):
                     bias_init=init.torch_default_bias(3 * C3),
                     name="t_cnn1")(y)
         y = nn.relu(BatchNorm(name="t_norm1")(y, train))
-        if train:
+        if train and self.dropout > 0.0:
             # Dropout2d: whole channels dropped per sample (:168,175)
-            y = nn.Dropout(0.2, broadcast_dims=(1, 2),
+            y = nn.Dropout(self.dropout, broadcast_dims=(1, 2),
                            deterministic=False, name="t_drop")(y)
         y = _Dense(2 * C3, self.use_bias, name="t_cnn2")(y)
         y = nn.relu(BatchNorm(name="t_norm2")(y, train))

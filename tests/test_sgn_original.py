@@ -122,3 +122,52 @@ def test_t_not_equal_seg(monkeypatch):
     ours, g = model.apply(variables, jnp.asarray(x_np), train=False)
     assert ours.shape == (3, 10) and g.shape == (3, 30, 25, 25)
     assert np.all(np.isfinite(np.asarray(ours)))
+
+
+@pytest.mark.skipif(not reference_available(), reason="reference not mounted")
+def test_adam_training_trajectory(monkeypatch):
+    """20-step Adam trajectory vs the torch reference (dropout zeroed on
+    both sides — the hardcoded Dropout2d masks can't be matched): losses
+    track and final parameter norms agree, certifying the zero-init W
+    branch and BN-momentum dynamics, not just eval-mode parity."""
+    import torch
+
+    from agcn_tpu.train import losses as L
+    from agcn_tpu.train import optim as O
+    from agcn_tpu.train.steps import TrainState, make_train_step
+    from .test_training_parity import (N_STEPS, _batches, _param_norm_jax,
+                                       _param_norm_torch)
+
+    ref = _torch_original(monkeypatch, num_class=11).train()
+    ref.cnn.dropout.p = 0.0
+    variables = sgn_original_variables_from_torch(ref.state_dict())
+
+    batches = _batches((4, 20, 75), seed=2)
+    opt = torch.optim.Adam(ref.parameters(), lr=1e-3, weight_decay=1e-4)
+    lossf = torch.nn.CrossEntropyLoss()
+    torch_losses = []
+    for x, y in batches:
+        opt.zero_grad()
+        loss = lossf(ref(torch.from_numpy(x))[0], torch.from_numpy(y))
+        loss.backward()
+        torch.nn.utils.clip_grad_norm_(ref.parameters(), 1.0)
+        opt.step()
+        torch_losses.append(float(loss))
+
+    model = SGNOriginal(num_class=11, dropout=0.0)
+    tx = O.adam(lambda _: 1e-3, weight_decay=1e-4, grad_clip=1.0)
+    state = TrainState.create(model.apply, variables["params"],
+                              variables.get("batch_stats", {}), tx)
+    step = jax.jit(make_train_step(L.cross_entropy))
+    key = jax.random.PRNGKey(0)
+    our_losses = []
+    for x, y in batches:
+        state, m = step(state, jnp.asarray(x), jnp.asarray(y), key)
+        our_losses.append(float(m["loss"]))
+
+    assert len(our_losses) == N_STEPS
+    np.testing.assert_allclose(our_losses[0], torch_losses[0], rtol=1e-4)
+    np.testing.assert_allclose(our_losses, torch_losses, rtol=0.25,
+                               atol=0.08)
+    np.testing.assert_allclose(_param_norm_jax(state.params),
+                               _param_norm_torch(ref), rtol=1e-3)
