@@ -349,3 +349,36 @@ def test_kinetics_family_end_to_end(tmp_path):
     assert tr.best_acc > 0.0
     # eval artifacts exist for the family
     assert os.listdir(os.path.join(cfg.work_dir, "score"))
+
+
+def test_ensemble_n_streams(tmp_path):
+    """--scores/--alphas generalizes the two-stream fusion to N streams
+    (4-stream joint/bone/joint-motion/bone-motion setup); the two-stream
+    flags must behave exactly as before."""
+    import ensemble as ens
+
+    rng = np.random.default_rng(0)
+    n, k = 10, 5
+    labels = rng.integers(0, k, n)
+    streams = []
+    for s in range(4):
+        sc = rng.standard_normal((n, k)) * 0.1
+        # each stream alone is weakly informative; the sum is right
+        sc[np.arange(n), labels] += 0.4
+        streams.append(sc)
+    with open(tmp_path / "label.pkl", "wb") as f:
+        pickle.dump(([str(i) for i in range(n)], labels.tolist()), f)
+    paths = []
+    for i, sc in enumerate(streams):
+        p = tmp_path / f"s{i}.pkl"
+        with open(p, "wb") as f:
+            pickle.dump({str(j): sc[j] for j in range(n)}, f)
+        paths.append(str(p))
+    accs = ens.main(["--label", str(tmp_path / "label.pkl"),
+                     "--scores", *paths, "--alphas", "1", "1", "0.5",
+                     "0.5"])
+    assert accs[1] == 1.0
+    # two-stream flags unchanged
+    accs2 = ens.main(["--label", str(tmp_path / "label.pkl"),
+                      "--joint-score", paths[0], "--bone-score", paths[1]])
+    assert accs2[1] >= 0.5
