@@ -45,9 +45,18 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, *arrays):
-    """Device-put host arrays with the batch axis sharded over 'data'."""
+    """Device-put host arrays with the batch axis sharded over 'data'.
+
+    Multi-process: each process holds only ITS shard of the batch (the
+    host-sharded iterator), so the global array is assembled from the
+    process-local pieces — global batch = local batch x process_count,
+    matching the reference's per-GPU DataLoader batch_size semantics."""
     sh = batch_sharding(mesh)
-    out = tuple(jax.device_put(a, sh) for a in arrays)
+    if jax.process_count() > 1:
+        out = tuple(jax.make_array_from_process_local_data(
+            sh, np.asarray(a)) for a in arrays)
+    else:
+        out = tuple(jax.device_put(a, sh) for a in arrays)
     return out if len(out) > 1 else out[0]
 
 

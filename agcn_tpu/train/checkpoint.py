@@ -40,27 +40,35 @@ _async_ckptr = None  # module-level so in-flight saves survive the call
 
 
 def save_checkpoint(path: str, tree: Dict[str, Any],
-                    async_save: bool = False):
+                    async_save: bool = False,
+                    use_orbax: bool = True):
     """Save a checkpoint pytree; orbax if importable, else npz.
 
     With `async_save`, the orbax save commits in a background thread
     (device->host transfer happens eagerly, serialization does not block
     the train loop); call `wait_for_checkpoints()` before reading it
     back or exiting.
+
+    `use_orbax=False` forces the npz path: orbax saves are COLLECTIVE
+    across jax processes, so a rank-0-only caller in a multi-process run
+    must not enter orbax (the others never join the barrier — observed
+    as a 5-minute hang then a shutdown-barrier crash).
     """
     global _async_ckptr
-    try:
-        import orbax.checkpoint as ocp
-    except ImportError:
-        # no orbax: degrade to the sync npz fallback below (for
-        # async_save too — losing async-ness beats killing the run at
-        # its FIRST save, epochs in)
-        import warnings
+    ocp = None
+    if use_orbax:
+        try:
+            import orbax.checkpoint as ocp
+        except ImportError:
+            # no orbax: degrade to the sync npz fallback below (for
+            # async_save too — losing async-ness beats killing the run
+            # at its FIRST save, epochs in)
+            import warnings
 
-        if async_save:
-            warnings.warn("async_checkpoint requested but orbax is not "
-                          "installed; saving synchronously as npz")
-        ocp = None
+            if async_save:
+                warnings.warn("async_checkpoint requested but orbax is "
+                              "not installed; saving synchronously as npz")
+            ocp = None
     if ocp is not None:
         try:
             if async_save:

@@ -49,11 +49,16 @@ class Trainer:
     def __init__(self, cfg: Config):
         self.cfg = cfg
         self.work_dir = cfg.work_dir
+        # multi-host: process 0 owns every work-dir artifact (log, TB,
+        # checkpoints, scores) — the reference's rank-0 gating
+        # (processor.py:138-146,777)
+        self.is_main = jax.process_index() == 0
         self._guard_work_dir()
         os.makedirs(self.work_dir, exist_ok=True)
         os.makedirs(os.path.join(self.work_dir, "checkpoints"), exist_ok=True)
         os.makedirs(os.path.join(self.work_dir, "score"), exist_ok=True)
-        save_config(cfg, os.path.join(self.work_dir, "config.yaml"))
+        if self.is_main:
+            save_config(cfg, os.path.join(self.work_dir, "config.yaml"))
         self._log_file = os.path.join(self.work_dir, "log.txt")
         self._metrics_file = os.path.join(self.work_dir, "metrics.jsonl")
         # TensorBoard event writers (reference processor.py:125-132):
@@ -103,6 +108,8 @@ class Trainer:
     # -- logging -------------------------------------------------------
 
     def print_log(self, msg: str):
+        if not self.is_main:  # rank-0 logging (processor.py:138-146)
+            return
         line = f"[{time.strftime('%Y-%m-%d %H:%M:%S')}] {msg}"
         if self.cfg.print_log:
             print(line, flush=True)
@@ -110,6 +117,8 @@ class Trainer:
             f.write(line + "\n")
 
     def log_metrics(self, **kv):
+        if not self.is_main:
+            return
         with open(self._metrics_file, "a") as f:
             f.write(json.dumps(kv) + "\n")
 
@@ -150,9 +159,12 @@ class Trainer:
                 collate = None
                 self.multi_test = 1
             self.datasets["val"] = ds
+            # val is host-sharded too (the reference's DistributedSampler
+            # on val, processor.py:524-525); evaluate() gathers and
+            # reassembles the interleaved per-process scores
             self.loaders["val"] = BatchIterator(
                 ds, cfg.test_batch_size, shuffle=False, drop_last=False,
-                seed=cfg.seed, collate=collate)
+                seed=cfg.seed, collate=collate, **shard_kwargs)
 
     def _load_model(self):
         cfg = self.cfg
@@ -486,8 +498,10 @@ class Trainer:
         # eval shards over the data axis too when the fixed (padded)
         # eval batch divides evenly; otherwise single-program eval
         self._eval_rows = cfg.test_batch_size * max(crops, 1)
-        if self.n_data_shards > 1 \
-                and self._eval_rows % self.n_data_shards == 0:
+        self._eval_sharded = (self.n_data_shards > 1
+                              and self._eval_rows % self.n_data_shards
+                              == 0)
+        if self._eval_sharded:
             from agcn_tpu.parallel import mesh as M
             self._eval_step = jax.jit(
                 eval_step,
@@ -617,20 +631,55 @@ class Trainer:
                 # sliced off below
                 pad = np.zeros((full - n_real,) + x.shape[1:], x.dtype)
                 x = np.concatenate([x, pad], axis=0)
-            if self.n_data_shards > 1 and full % self.n_data_shards == 0:
+            if self._eval_sharded:
                 xb = shard_batch(self.mesh, x)
             else:
                 xb = jnp.asarray(x)
-            if self._eval_aux is not None and n_real == full:
+            nproc = jax.process_count()
+            if self._eval_aux is not None and n_real == full \
+                    and nproc == 1:
                 # aux (MMD on crop-averaged z, processor.py:563-567)
-                # eval metrics on full batches
+                # eval metrics on full batches; skipped multi-host (the
+                # labels ride a replicated in_sharding, which cannot
+                # carry per-process shards)
                 yb = jnp.asarray(np.asarray(y)[::crops])
                 logits, m = self._eval_step(self.state, xb, yb)
                 aux_metrics.append({k: float(v) for k, v in m.items()})
             else:
                 logits, _ = self._eval_step(self.state, xb, None)
-            scores.append(np.asarray(logits)[: n_real // crops])
-        score = np.concatenate(scores, axis=0)[: len(ds)]
+            lg = np.asarray(logits)
+            m_rows = n_real // crops
+            if nproc > 1 and self._eval_sharded:
+                # replicated output = logits for the GLOBAL batch: P
+                # process blocks of full/crops sample rows each (the
+                # global array concatenates process-local shards in
+                # process order). The host-sharded val iterator gives
+                # process p the padded samples p, p+P, p+2P, ..., so
+                # interleaving the blocks reconstructs the padded order
+                # (the reference's all_gather_object + round-robin
+                # reassembly, processor.py:862-868).
+                per_block = full // crops
+                inter = np.empty((m_rows * nproc,) + lg.shape[1:],
+                                 lg.dtype)
+                for p in range(nproc):
+                    inter[p::nproc] = lg[p * per_block:
+                                         p * per_block + m_rows]
+                scores.append(inter)
+            else:
+                scores.append(lg[:m_rows])
+        score = np.concatenate(scores, axis=0)
+        if jax.process_count() > 1 and not self._eval_sharded:
+            # non-sharded eval computed process-local scores — gather
+            # across processes and reassemble the interleave
+            from jax.experimental import multihost_utils
+            gathered = np.asarray(multihost_utils.process_allgather(score))
+            nproc = gathered.shape[0]
+            glob = np.empty((nproc * gathered.shape[1],)
+                            + gathered.shape[2:], gathered.dtype)
+            for p in range(nproc):
+                glob[p::nproc] = gathered[p]
+            score = glob
+        score = score[: len(ds)]
         accs = {k: ds.top_k(score, k) for k in cfg.show_topk}
         dt = time.time() - t0
         if accs.get(1, 0.0) > self.best_acc:
@@ -652,7 +701,7 @@ class Trainer:
                 self.val_writer.add_scalar(f"val/top{k}", v,
                                            int(self.state.step))
             self.val_writer.flush()
-        if save_score:
+        if save_score and self.is_main:
             names = getattr(ds, "sample_name",
                             np.arange(len(ds)))
             out = {str(n): s for n, s in zip(names, score)}
@@ -660,7 +709,7 @@ class Trainer:
                                 f"epoch{epoch + 1}_val.pkl")
             with open(path, "wb") as f:
                 pickle.dump(out, f)
-        if write_predictions:
+        if write_predictions and self.is_main:
             pred = score.argmax(-1)
             with open(os.path.join(self.work_dir, "right.txt"), "w") as fr, \
                     open(os.path.join(self.work_dir, "wrong.txt"), "w") as fw:
@@ -670,6 +719,8 @@ class Trainer:
         return accs
 
     def save_checkpoint(self, epoch: int):
+        if not self.is_main:  # rank-0 saves (processor.py:777)
+            return
         from agcn_tpu.train.checkpoint import save_checkpoint
         # filename prefix from model_saved_name (reference names weights
         # {model_saved_name}-{epoch}-{global_step}.pt, processor.py:225-231)
@@ -689,5 +740,9 @@ class Trainer:
             "step": int(self.state.step),
             "epoch": epoch,
             "steps_per_epoch": int(self.steps_per_epoch),
-        }, async_save=self.cfg.async_checkpoint)
+        }, async_save=self.cfg.async_checkpoint,
+            # orbax saves are collective across processes; this method
+            # runs on rank 0 only, so multi-process runs take the pure
+            # host-side npz path
+            use_orbax=jax.process_count() == 1)
         self.print_log(f"checkpoint saved: {path}")

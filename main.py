@@ -34,7 +34,19 @@ def main(argv=None):
                       os.path.expanduser("~/.cache/jax_comp_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     if cfg.world_size > 1:
-        jax.distributed.initialize()
+        # cloud TPU pods auto-detect; elsewhere (e.g. a CPU/GPU cluster
+        # or the 2-process CPU test) pass the rendezvous explicitly via
+        # env — the role of the reference's MASTER_ADDR/port 8020
+        # (reference main.py:21-22), without the hardcoding
+        coord = os.environ.get("JAX_COORDINATOR_ADDRESS")
+        if coord:
+            jax.distributed.initialize(
+                coordinator_address=coord,
+                num_processes=int(os.environ.get("JAX_NUM_PROCESSES",
+                                                 cfg.world_size)),
+                process_id=int(os.environ["JAX_PROCESS_ID"]))
+        else:
+            jax.distributed.initialize()
     from agcn_tpu.train.trainer import Trainer
 
     Trainer(cfg).start()
