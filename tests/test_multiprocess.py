@@ -120,3 +120,22 @@ def test_two_process_ddp_matches_single(tmp_path):
 
     s_single, s_ddp = scores(cfg1["work_dir"]), scores(ddp_dir)
     np.testing.assert_allclose(s_ddp, s_single, atol=0.05, rtol=0.05)
+
+    # and the north-star axis across PROCESSES: a (data=2, edge=2) mesh
+    # spanning both hosts — the in-model edge-partitioned aggregation is
+    # numerically identical to dense, so this too must match the
+    # single-process trace
+    cfg3 = _cfg(tmp_path, "work_edge", batch=8, world_size=2)
+    cfg3["mesh_edge"] = 2
+    with open(tmp_path / "edge.yaml", "w") as f:
+        yaml.safe_dump(cfg3, f)
+    procs = [
+        _run(tmp_path / "edge.yaml",
+             {"JAX_COORDINATOR_ADDRESS": "localhost:23477",
+              "JAX_NUM_PROCESSES": "2", "JAX_PROCESS_ID": str(i)})
+        for i in range(2)]
+    outs = [pr.communicate(timeout=420)[0] for pr in procs]
+    for pr, o in zip(procs, outs):
+        assert pr.returncode == 0, o[-2000:]
+    l_edge = _train_losses(cfg3["work_dir"])
+    np.testing.assert_allclose(l_edge, l_single, rtol=2e-3, atol=2e-4)
