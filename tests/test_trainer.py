@@ -382,3 +382,22 @@ def test_ensemble_n_streams(tmp_path):
     accs2 = ens.main(["--label", str(tmp_path / "label.pkl"),
                       "--joint-score", paths[0], "--bone-score", paths[1]])
     assert accs2[1] >= 0.5
+
+
+def test_openpose15_family_end_to_end(tmp_path):
+    """15-joint OpenPose family: 25-joint NTU-format data remapped by
+    the feeder's joint_15 (reference feeder.py:16-32,110-116) trains on
+    the openpose_b25_j15 graph — the last graph family without an e2e
+    run."""
+    from agcn_tpu.train.trainer import Trainer
+
+    dp, lp = _dense_data(tmp_path)  # stored 25-joint, like the real data
+    cfg = _make_cfg(
+        tmp_path, dp, lp,
+        model_args={"num_class": 4, "num_point": 15,
+                    "graph": "openpose_b25_j15"})
+    cfg.train_feeder_args.update(joint_15=True)
+    cfg.test_feeder_args.update(joint_15=True)
+    tr = Trainer(cfg)
+    tr.start()
+    assert tr.best_acc > 0.0
