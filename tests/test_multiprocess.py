@@ -139,3 +139,54 @@ def test_two_process_ddp_matches_single(tmp_path):
         assert pr.returncode == 0, o[-2000:]
     l_edge = _train_losses(cfg3["work_dir"])
     np.testing.assert_allclose(l_edge, l_single, rtol=2e-3, atol=2e-4)
+
+
+@pytest.mark.slow
+def test_two_process_sgn_multicrop(tmp_path):
+    """SGN 2-process run with multi_test crops: exercises the crops>1
+    score reassembly (global logits carry per-process blocks of
+    crop-averaged rows) and the SGN collate under host sharding."""
+    rng = np.random.default_rng(0)
+    n, t, num_class = 24, 40, 3
+    data = np.zeros((n, t, 150), np.float32)
+    data[:, :, :75] = rng.standard_normal((n, t, 75)).astype(
+        np.float32) * 0.1
+    labels = (np.arange(n) % num_class).tolist()
+    for i, l in enumerate(labels):
+        data[i, :, 0] += l * 0.5
+    with open(tmp_path / "train.pkl", "wb") as f:
+        pickle.dump(data, f)
+    with open(tmp_path / "train_label.pkl", "wb") as f:
+        pickle.dump(labels, f)
+
+    feeder = {"data_path": str(tmp_path / "train.pkl"),
+              "label_path": str(tmp_path / "train_label.pkl"),
+              "dataset": "NTU60-CV-SGN"}
+    cfg = dict(
+        work_dir=str(tmp_path / "work_sgn"),
+        model="sgn", use_sgn_dataloader=True,
+        model_args={"num_class": num_class, "num_point": 25,
+                    "num_segment": 20, "bias": 1, "dropout2d": 0.0},
+        train_feeder_args=feeder, test_feeder_args=feeder,
+        train_dataloader_args={"seg": 20, "multi_test": 1},
+        test_dataloader_args={"seg": 20, "multi_test": 2},
+        batch_size=6, test_batch_size=4, num_epoch=1, eval_interval=1,
+        optimizer="Adam", base_lr=0.001, save_score=True,
+        device="cpu", world_size=2, ddp=True)
+    with open(tmp_path / "sgn.yaml", "w") as f:
+        yaml.safe_dump(cfg, f)
+    procs = [
+        _run(tmp_path / "sgn.yaml",
+             {"JAX_COORDINATOR_ADDRESS": "localhost:23481",
+              "JAX_NUM_PROCESSES": "2", "JAX_PROCESS_ID": str(i)})
+        for i in range(2)]
+    outs = [pr.communicate(timeout=420)[0] for pr in procs]
+    for pr, o in zip(procs, outs):
+        assert pr.returncode == 0, o[-2000:]
+    # score pickle covers every sample exactly once
+    score_dir = os.path.join(cfg["work_dir"], "score")
+    fn = sorted(os.listdir(score_dir))[-1]
+    with open(os.path.join(score_dir, fn), "rb") as f:
+        d = pickle.load(f)
+    assert len(d) == n
+    assert all(np.isfinite(v).all() for v in d.values())
