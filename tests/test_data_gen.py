@@ -107,3 +107,39 @@ def test_read_xyz_from_synthetic_skeleton(tmp_path):
     assert data.shape == (3, frames, 25, 2)
     assert np.abs(data[:, :, :, 0]).sum() > 0
     np.testing.assert_allclose(data[:, :, :, 1], 0, atol=1e-7)
+
+
+def test_gen_cli_ntu_and_streams(tmp_path):
+    """The unified offline-gen CLI (python -m agcn_tpu.data.gen) drives
+    the NTU chain and the bone/motion streams end-to-end on a synthetic
+    .skeleton file — the role of the reference's standalone scripts."""
+    from agcn_tpu.data.gen.__main__ import main as gen_main
+
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    rng = np.random.default_rng(0)
+    # xview: camera 2 -> train split, camera 1 -> eval split
+    for cam, perf in ((1, 1), (2, 1)):
+        path = raw / f"S001C{cam:03d}P{perf:03d}R001A005.skeleton"
+        with open(path, "w") as f:
+            f.write("4\n")
+            for t in range(4):
+                f.write("1\n")
+                f.write("7205759 0 1 1 1 1 0 0.1 0.2 2\n")
+                f.write("25\n")
+                for j in range(25):
+                    xyz = rng.standard_normal(3) * 0.1
+                    f.write(" ".join(f"{v:.5f}" for v in xyz)
+                            + " 100 100 500 500 0 0 0 1 2\n")
+    out = tmp_path / "out"
+    gen_main(["ntu", "--data-path", str(raw), "--out-path", str(out),
+              "--benchmark", "xview", "--part", "train", "eval"])
+    train = np.load(out / "xview" / "train_data_joint.npy")
+    assert train.shape == (1, 3, 300, 25, 2)
+    assert (out / "xview" / "eval_label.pkl").exists()
+
+    gen_main(["streams", "--joint-path",
+              str(out / "xview" / "train_data_joint.npy")])
+    bone = np.load(out / "xview" / "train_data_bone.npy")
+    assert bone.shape == train.shape
+    assert (out / "xview" / "train_data_joint_motion.npy").exists()
