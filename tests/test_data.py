@@ -216,3 +216,45 @@ def test_pipeline_abandoned_iterator_releases_producer(tmp_path):
     while threading.active_count() > before and time.time() < deadline:
         time.sleep(0.05)
     assert threading.active_count() <= before
+
+
+def test_shard_coverage_invariants():
+    """The DDP loss-trace equivalence rests on these: across shards each
+    epoch covers every sample, shards are equal-length (padded from the
+    head of the permutation), and the union of per-shard batch k equals
+    the contiguous global batch k of a single-shard iterator."""
+    from agcn_tpu.data.pipeline import BatchIterator
+
+    class Idx:
+        def __init__(self, n):
+            self.n = n
+
+        def __len__(self):
+            return self.n
+
+        def __getitem__(self, i):
+            return np.float32([i]), i % 3, i
+
+    for n, nproc, bs in [(32, 2, 8), (30, 4, 3), (17, 2, 4), (9, 3, 2)]:
+        per = -(-n // nproc)
+        shards = []
+        for p in range(nproc):
+            it = BatchIterator(Idx(n), bs, shuffle=True, drop_last=True,
+                               seed=7, num_shards=nproc, shard_index=p)
+            it.set_epoch(3)
+            shards.append(it._indices())
+        assert all(len(s) == per for s in shards)
+        union = np.concatenate(shards)
+        assert set(union.tolist()) == set(range(n))  # full coverage
+        single = BatchIterator(Idx(n), bs * nproc, shuffle=True,
+                               drop_last=True, seed=7)
+        single.set_epoch(3)
+        order = single._indices()
+        # global batch k (union over shards) == contiguous batch k
+        gb = min(len(order) // (bs * nproc), per // bs)
+        for k in range(gb):
+            got = set()
+            for s in shards:
+                got.update(s[k * bs:(k + 1) * bs].tolist())
+            want = set(order[k * bs * nproc:(k + 1) * bs * nproc].tolist())
+            assert got == want
