@@ -140,6 +140,35 @@ def test_two_process_ddp_matches_single(tmp_path):
     l_edge = _train_losses(cfg3["work_dir"])
     np.testing.assert_allclose(l_edge, l_single, rtol=2e-3, atol=2e-4)
 
+    # multi-process TEST PHASE on the saved DDP checkpoint, with an eval
+    # batch (3) that does NOT divide the 4-device data axis — exercises
+    # the per-process local-eval + process_allgather reassembly fallback
+    ckpt = sorted(os.listdir(os.path.join(ddp_dir, "checkpoints")))[-1]
+    cfg4 = _cfg(tmp_path, "work_test", batch=8, world_size=2)
+    cfg4.update(phase="test", test_batch_size=3,
+                weights=os.path.join(ddp_dir, "checkpoints", ckpt))
+    with open(tmp_path / "test.yaml", "w") as f:
+        yaml.safe_dump(cfg4, f)
+    procs = [
+        _run(tmp_path / "test.yaml",
+             {"JAX_COORDINATOR_ADDRESS": "localhost:23489",
+              "JAX_NUM_PROCESSES": "2", "JAX_PROCESS_ID": str(i)})
+        for i in range(2)]
+    outs = [pr.communicate(timeout=420)[0] for pr in procs]
+    for pr, o in zip(procs, outs):
+        assert pr.returncode == 0, o[-2000:]
+
+    def test_scores(work_dir):
+        fn = sorted(os.listdir(os.path.join(work_dir, "score")))[-1]
+        with open(os.path.join(work_dir, "score", fn), "rb") as f:
+            d = pickle.load(f)
+        return np.stack([d[f"s{i}"] for i in range(N)])
+
+    # the fallback reassembly must reproduce the DDP training run's own
+    # final eval scores (same checkpoint, same data)
+    np.testing.assert_allclose(test_scores(cfg4["work_dir"]), s_ddp,
+                               atol=1e-4, rtol=1e-4)
+
 
 @pytest.mark.slow
 def test_two_process_sgn_multicrop(tmp_path):
