@@ -119,28 +119,43 @@ def _serve(args, model, variables, kind, num_joint, multi_test, cfg):
         sid = server.add_stream()
         streams[sid] = (os.path.splitext(os.path.basename(f))[0],
                         load_frames(f, num_joint))
+    out_files = {}
+    if args.out_folder:
+        os.makedirs(args.out_folder, exist_ok=True)
     step = 0
-    while streams:
-        done = []
-        for sid, (tag, frames) in streams.items():
-            frame = next(frames, None)
-            if frame is None:
-                done.append(sid)
-            else:
-                server.append_frame(sid, frame.astype(np.float32))
-        for sid in done:
-            del streams[sid]
-            server.remove_stream(sid)
-        step += 1
-        if streams and step % args.interval == 0:
-            results = server.predict()
-            for sid, (label, probs) in sorted(results.items()):
-                line = (f"[{streams[sid][0]}] frame {step}: "
-                        f"class {label} p={probs[label]:.3f}")
-                print(line, flush=True)
-            if args.timing:
-                print(f"tick: {len(results)} streams in "
-                      f"{server.last_latency_ms:.1f} ms", flush=True)
+    try:
+        while streams:
+            done = []
+            for sid, (tag, frames) in streams.items():
+                frame = next(frames, None)
+                if frame is None:
+                    done.append(sid)
+                else:
+                    server.append_frame(sid, frame.astype(np.float32))
+            for sid in done:
+                del streams[sid]
+                server.remove_stream(sid)
+            step += 1
+            if streams and step % args.interval == 0:
+                results = server.predict()
+                for sid, (label, probs) in sorted(results.items()):
+                    tag = streams[sid][0]
+                    line = (f"[{tag}] frame {step}: "
+                            f"class {label} p={probs[label]:.3f}")
+                    print(line, flush=True)
+                    if args.out_folder:
+                        if sid not in out_files:
+                            out_files[sid] = open(os.path.join(
+                                args.out_folder,
+                                f"results_{tag}.txt"), "w")
+                        out_files[sid].write(
+                            f"{step},{label},{probs[label]:.6f}\n")
+                if args.timing:
+                    print(f"tick: {len(results)} streams in "
+                          f"{server.last_latency_ms:.1f} ms", flush=True)
+    finally:
+        for f in out_files.values():
+            f.close()
 
 
 def main(argv=None):
