@@ -54,8 +54,11 @@ class ActionRecognition:
         self.allowed_classes = allowed_classes
         sampler = None
         if kind == "sgn":
-            sampler = SegmentSampler(multi_test=multi_test,
-                                     **(sgn_dataloader_args or {}))
+            # the recipe's test_dataloader_args carry multi_test too —
+            # the explicit parameter wins (both at once would crash)
+            extra = {k: v for k, v in (sgn_dataloader_args or {}).items()
+                     if k != "multi_test"}
+            sampler = SegmentSampler(multi_test=multi_test, **extra)
         self.preproc = InferencePreprocessor(
             num_joint=num_joint, max_seq_length=max_seq_length,
             max_person=max_person, moving_avg=moving_avg,

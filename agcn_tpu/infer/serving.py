@@ -66,6 +66,9 @@ class BatchedStreamServer:
                                max_person=max_person,
                                moving_avg=moving_avg)
         self._sgn_args = dict(sgn_dataloader_args or {})
+        # the recipe's test_dataloader_args carry multi_test too — the
+        # explicit parameter wins (passing both would crash SegmentSampler)
+        self._sgn_args.pop("multi_test", None)
         self.variables = variables
         self._forward = jax.jit(
             lambda v, x: model.apply(v, x, train=False))

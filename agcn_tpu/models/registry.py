@@ -89,7 +89,7 @@ def import_class(name: str):
 def build_model(name: str, model_args: Dict[str, Any],
                 edge_mesh=None):
     key = _ALIASES.get(name, name).lower()
-    if edge_mesh is not None and (key.startswith("sgn") or "." in name):
+    if edge_mesh is not None and (key.startswith("sgn") or "." in key):
         # fail loudly instead of silently replicating compute over the
         # reserved 'edge' mesh axis (the aagcn-family guard lives in
         # _build_agcn)

@@ -745,4 +745,10 @@ class Trainer:
             # runs on rank 0 only, so multi-process runs take the pure
             # host-side npz path
             use_orbax=jax.process_count() == 1)
+        if self.cfg.async_checkpoint and jax.process_count() > 1 \
+                and not getattr(self, "_warned_sync_save", False):
+            self._warned_sync_save = True
+            self.print_log("async_checkpoint is synchronous in "
+                           "multi-process runs (rank-0 npz saves; orbax "
+                           "async saves are collective)")
         self.print_log(f"checkpoint saved: {path}")

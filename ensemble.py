@@ -55,13 +55,8 @@ def ensemble_many(labels, scores, alphas, topk=(1, 5)):
 
 
 def ensemble(labels, joint, bone, alpha=1.0, topk=(1, 5)):
-    fused = joint + alpha * bone
-    rank = fused.argsort(axis=-1)
-    out = {}
-    for k in topk:
-        hits = [l in rank[i, -k:] for i, l in enumerate(labels)]
-        out[k] = sum(hits) / len(hits)
-    return out
+    """Two-stream fusion (reference ensemble.py:25) — the N=2 case."""
+    return ensemble_many(labels, [joint, bone], [1.0, alpha], topk)
 
 
 def main(argv=None):

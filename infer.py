@@ -96,7 +96,8 @@ def iter_stream_files(path: str, follow: bool, poll_s: float = 0.5,
             _t.sleep(poll_s)
 
 
-def _serve(args, model, variables, kind, num_joint, multi_test, cfg):
+def _serve(args, model, variables, kind, num_joint, multi_test, cfg,
+           labels=None):
     """Multi-stream serving loop: each file in --input is one live
     stream; all streams advance in lock-step and every --interval frames
     ONE batched forward answers all of them (infer/serving.py)."""
@@ -115,10 +116,14 @@ def _serve(args, model, variables, kind, num_joint, multi_test, cfg):
     if not files:
         raise FileNotFoundError(f"no input files under {args.input}")
     streams = {}
+    tags = set()
     for f in files:
         sid = server.add_stream()
-        streams[sid] = (os.path.splitext(os.path.basename(f))[0],
-                        load_frames(f, num_joint))
+        tag = os.path.splitext(os.path.basename(f))[0]
+        if tag in tags:  # cam0.npy + cam0.skeleton must not clobber
+            tag = f"{tag}_{sid}"
+        tags.add(tag)
+        streams[sid] = (tag, load_frames(f, num_joint))
     out_files = {}
     if args.out_folder:
         os.makedirs(args.out_folder, exist_ok=True)
@@ -140,8 +145,10 @@ def _serve(args, model, variables, kind, num_joint, multi_test, cfg):
                 results = server.predict()
                 for sid, (label, probs) in sorted(results.items()):
                     tag = streams[sid][0]
+                    name = labels[label] if labels and label < len(labels) \
+                        else str(label)
                     line = (f"[{tag}] frame {step}: "
-                            f"class {label} p={probs[label]:.3f}")
+                            f"class {name} p={probs[label]:.3f}")
                     print(line, flush=True)
                     if args.out_folder:
                         if sid not in out_files:
@@ -229,11 +236,16 @@ def main(argv=None):
     multi_test = args.multi_test if args.multi_test is not None else (
         cfg.test_dataloader_args.get("multi_test", 1)
         if kind == "sgn" else 1)
+    labels = None
+    if args.label_mapping_file:
+        with open(args.label_mapping_file) as f:
+            labels = [ln.strip() for ln in f if ln.strip()]
+
     if args.serve:
         if not os.path.isdir(args.input):
             p.error("--serve requires --input to be a directory")
         return _serve(args, model, variables, kind, num_joint, multi_test,
-                      cfg)
+                      cfg, labels=labels)
 
     rec = ActionRecognition(
         model, variables, kind=kind, num_joint=num_joint,
@@ -247,10 +259,6 @@ def main(argv=None):
         if kind == "sgn" else None,
         expose_attention=bool(args.save_attention))
 
-    labels = None
-    if args.label_mapping_file:
-        with open(args.label_mapping_file) as f:
-            labels = [ln.strip() for ln in f if ln.strip()]
     out_f = None
     if args.out_folder:
         os.makedirs(args.out_folder, exist_ok=True)

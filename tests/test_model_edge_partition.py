@@ -151,3 +151,21 @@ def test_registry_builds_edge_mesh_models():
     with pytest.raises(ValueError, match="mesh_edge"):
         build_model("agcn_tpu.models.AGCN", {"num_class": 5},
                     edge_mesh=mesh)
+
+
+def test_reference_dotted_paths_accept_edge_mesh():
+    """Reference dotted model paths resolve through the alias table, so
+    mesh_edge must work for them exactly like the short names (the
+    MIGRATION drop-in claim); archived/unknown dotted paths still fail."""
+    from agcn_tpu.models.registry import build_model
+
+    mesh = make_mesh(data=2, edge=2)
+    m = build_model("model.architecture.aagcn.agcn.Model",
+                    {"num_class": 5}, edge_mesh=mesh)
+    assert m.edge_mesh is mesh
+    m2 = build_model("model.aagcn.Model", {"num_class": 5},
+                     edge_mesh=mesh)
+    assert m2.edge_mesh is mesh
+    with pytest.raises(ValueError, match="mesh_edge"):
+        build_model("model.sgn_v14.SGN", {"num_class": 5},
+                    edge_mesh=mesh)

@@ -147,3 +147,28 @@ def test_threaded_preprocessing_matches(agcn_model):
         _, probs_s = single.predict()
         np.testing.assert_allclose(batched[sid][1], probs_s,
                                    atol=1e-5, rtol=1e-5)
+
+
+def test_sgn_recipe_dataloader_args_accepted():
+    """Shipped SGN recipes' test_dataloader_args carry multi_test; both
+    the server and the single-stream recognizer must accept the dict
+    verbatim (regression: double 'multi_test' kwarg crash)."""
+    model = SGN(num_class=4)
+    x = np.zeros((1, 20, 75), np.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    recipe_args = dict(seg=20, multi_test=5)  # as in the shipped yamls
+    server = BatchedStreamServer(model, variables, max_streams=1,
+                                 kind="sgn", max_seq_length=48,
+                                 multi_test=5,
+                                 sgn_dataloader_args=recipe_args)
+    sid = server.add_stream()
+    for f in _frames(0, n_frames=30):
+        server.append_frame(sid, f)
+    assert sid in server.predict()
+    single = ActionRecognition(model, variables, kind="sgn",
+                               max_seq_length=48, multi_test=5,
+                               sgn_dataloader_args=recipe_args)
+    for f in _frames(0, n_frames=30):
+        single.append_frame(f)
+    label, probs = single.predict()
+    assert probs.shape == (4,)

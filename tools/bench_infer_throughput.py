@@ -56,9 +56,15 @@ def bench_sgn(batch, steps=50):
 
 if __name__ == "__main__":
     # optional CLI specs: `agcn:512 sgn:2048` (default: the PERF.md table)
-    specs = [(s.split(":")[0], int(s.split(":")[1]))
-             for s in sys.argv[1:]] or \
-        [("agcn", 64), ("agcn", 256), ("sgn", 256), ("sgn", 1024)]
+    specs = []
+    for s in sys.argv[1:]:
+        kind, _, batch = s.partition(":")
+        if kind not in ("agcn", "sgn") or not batch.isdigit():
+            sys.exit(f"bad spec {s!r}: expected agcn:<batch> or "
+                     f"sgn:<batch>")
+        specs.append((kind, int(batch)))
+    specs = specs or [("agcn", 64), ("agcn", 256),
+                      ("sgn", 256), ("sgn", 1024)]
     for kind, b in specs:
         fn = bench_agcn if kind == "agcn" else bench_sgn
         print(f"{kind} infer batch {b}: {fn(b):.0f} seq/s", flush=True)
