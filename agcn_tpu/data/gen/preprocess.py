@@ -43,10 +43,22 @@ def pre_normalization(data: np.ndarray,
                       xaxis: Optional[Sequence[int]] = (8, 4),
                       pad: bool = True,
                       center: bool = True,
-                      center_firstframe: bool = False) -> np.ndarray:
+                      center_firstframe: bool = False,
+                      native_ok: bool = True) -> np.ndarray:
     """Normalize (N, C, T, V, M) skeleton data in place-equivalent copy."""
     if center or center_firstframe:
         assert center != center_firstframe
+    if native_ok and data.dtype == np.float32 and data.shape[1] == 3:
+        # native host kernel (native/skelio.cpp pre_normalize): ~20x on
+        # the serving/gen hot path; within one float32 ulp of this numpy
+        # implementation (BLAS summation order), equivalence-tested.
+        # native_ok=False forces the numpy path (the parity reference).
+        from agcn_tpu import native
+
+        out = native.pre_normalize(data, zaxis, xaxis, pad, center,
+                                   center_firstframe)
+        if out is not None:
+            return out
     n, c, t, v, m = data.shape
     s = np.transpose(data, (0, 4, 2, 3, 1)).copy()  # N, M, T, V, C
 

@@ -26,7 +26,8 @@ _tried = False
 def _build() -> bool:
     try:
         subprocess.run(
-            ["g++", "-O3", "-march=native", "-shared", "-fPIC", _SRC,
+            ["g++", "-O3", "-march=native", "-ffp-contract=off",
+             "-shared", "-fPIC", _SRC,
              "-o", _LIB],
             check=True, capture_output=True)
         return True
@@ -55,6 +56,9 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
             ctypes.c_int]
+        lib.pre_normalize.restype = None
+        lib.pre_normalize.argtypes = [
+            ctypes.POINTER(ctypes.c_float)] + [ctypes.c_int] * 10
         _lib = lib
     except OSError:
         _lib = None
@@ -114,3 +118,30 @@ def flatten_persons(seq: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     sampler = SegmentSampler()
     nz = seq.any(axis=-1)
     return sampler.flatten_persons(seq[nz])
+
+
+def pre_normalize(data: np.ndarray,
+                  zaxis=(0, 1), xaxis=(8, 4), pad: bool = True,
+                  center: bool = True,
+                  center_firstframe: bool = False) -> Optional[np.ndarray]:
+    """Native pre_normalization over (N, C, T, V, M) float32 data.
+
+    Returns the normalized copy, or None when the native library is
+    unavailable (caller falls back to the numpy implementation in
+    agcn_tpu.data.gen.preprocess).
+    """
+    lib = get_lib()
+    if lib is None or data.shape[1] != 3:
+        return None
+    n, c, t, v, m = data.shape
+    s = np.ascontiguousarray(
+        np.transpose(data, (0, 4, 2, 3, 1)), dtype=np.float32)
+    z_from, z_to = (zaxis[0], zaxis[1]) if zaxis is not None else (-1, -1)
+    # the x alignment swaps the pair (preprocess.py alignments table)
+    x_from, x_to = (xaxis[1], xaxis[0]) if xaxis is not None else (-1, -1)
+    center_mode = 1 if center else (2 if center_firstframe else 0)
+    lib.pre_normalize(
+        s.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        n, m, t, v, z_from, z_to, x_from, x_to,
+        1 if pad else 0, center_mode)
+    return np.transpose(s, (0, 4, 2, 3, 1))

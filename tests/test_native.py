@@ -71,3 +71,44 @@ def test_collate_uses_native_consistently(lib):
                                    np.random.default_rng(1), train=False)
     assert x.shape == (1, 20, 75)
     assert np.all(np.isfinite(x))
+
+
+def test_native_pre_normalize_matches_numpy():
+    """Native pre_normalize (skelio.cpp) vs the pure-numpy path across
+    the branch space: single-person samples, leading null frames,
+    zero tails (pad tiling), all-zero samples, every alignment/center
+    combination — within one float32 ulp (BLAS summation order)."""
+    from agcn_tpu import native
+    from agcn_tpu.data.gen.preprocess import pre_normalization
+
+    if not native.available():
+        pytest.skip("native toolchain unavailable")
+    rng = np.random.default_rng(0)
+    data = rng.standard_normal((4, 3, 60, 25, 2)).astype(np.float32) * 0.3
+    data[0, :, :, :, 1] = 0      # single person
+    data[1, :, :5] = 0           # leading null frames
+    data[2, :, 30:] = 0          # zero tail -> pad tiling
+    data[3] = 0                  # all-zero sample
+    for zaxis, xaxis, pad, c, cf in [
+            ((0, 1), (8, 4), True, True, False),
+            (None, (8, 4), True, True, False),
+            ((0, 1), None, False, False, True),
+            ((0, 1), (8, 4), False, False, False),
+            (None, None, True, False, False)]:
+        want = pre_normalization(data.copy(), zaxis, xaxis, pad, c, cf,
+                                 native_ok=False)
+        got = native.pre_normalize(data.copy(), zaxis, xaxis, pad, c, cf)
+        assert got is not None
+        np.testing.assert_allclose(got, want, atol=5e-7, rtol=0)
+
+
+def test_pre_normalization_routes_through_native():
+    """The default pre_normalization path uses the native kernel when
+    available and stays within tolerance of the numpy reference."""
+    from agcn_tpu.data.gen.preprocess import pre_normalization
+
+    rng = np.random.default_rng(1)
+    data = rng.standard_normal((2, 3, 40, 25, 2)).astype(np.float32) * 0.3
+    auto = pre_normalization(data.copy())
+    ref = pre_normalization(data.copy(), native_ok=False)
+    np.testing.assert_allclose(auto, ref, atol=5e-7, rtol=0)
