@@ -15,7 +15,21 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import subprocess
+
 import jax
+
+# the axon tunnel can hang indefinitely at backend init; probe it in a
+# subprocess and fall back to CPU (same pattern as bench.py)
+try:
+    _r = subprocess.run(
+        [sys.executable, "-c", "import jax; jax.devices()"],
+        timeout=300, capture_output=True)
+    if _r.returncode != 0:
+        raise RuntimeError
+except Exception:
+    print("# TPU backend unavailable; falling back to CPU", flush=True)
+    jax.config.update("jax_platforms", "cpu")
 
 jax.config.update("jax_compilation_cache_dir",
                   os.path.expanduser("~/.cache/jax_comp_cache"))
