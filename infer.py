@@ -112,24 +112,49 @@ def _serve(args, model, variables, kind, num_joint, multi_test, cfg,
         allowed_classes=args.allowed_classes, multi_test=multi_test,
         sgn_dataloader_args=cfg.test_dataloader_args
         if kind == "sgn" else None)
-    files = list(iter_stream_files(args.input, follow=False))[:args.serve]
-    if not files:
-        raise FileNotFoundError(f"no input files under {args.input}")
     streams = {}
     tags = set()
-    for f in files:
+    seen = set()
+    backlog = []
+
+    def attach(f):
         sid = server.add_stream()
         tag = os.path.splitext(os.path.basename(f))[0]
         if tag in tags:  # cam0.npy + cam0.skeleton must not clobber
             tag = f"{tag}_{sid}"
         tags.add(tag)
         streams[sid] = (tag, load_frames(f, num_joint))
+        print(f"++ stream [{tag}]", flush=True)
+
+    def scan_new():
+        """Non-blocking mtime-ordered scan for unseen recordings."""
+        entries = [os.path.join(args.input, e)
+                   for e in os.listdir(args.input)
+                   if e.endswith((".skeleton", ".npy"))]
+        fresh = sorted((os.path.getmtime(e), e) for e in entries
+                       if e not in seen)
+        for _, e in fresh:
+            seen.add(e)
+            backlog.append(e)
+
+    def fill_slots():
+        while backlog and len(streams) < args.serve:
+            attach(backlog.pop(0))
+
+    scan_new()
+    if not backlog and not args.follow:
+        raise FileNotFoundError(f"no input files under {args.input}")
+    fill_slots()
     out_files = {}
     if args.out_folder:
         os.makedirs(args.out_folder, exist_ok=True)
+    import time as _t
+
     step = 0
+    idle = 0.0
+    poll_s = 0.5
     try:
-        while streams:
+        while True:
             done = []
             for sid, (tag, frames) in streams.items():
                 frame = next(frames, None)
@@ -138,8 +163,23 @@ def _serve(args, model, variables, kind, num_joint, multi_test, cfg,
                 else:
                     server.append_frame(sid, frame.astype(np.float32))
             for sid in done:
+                print(f"-- stream [{streams[sid][0]}] ended", flush=True)
                 del streams[sid]
                 server.remove_stream(sid)
+            # live arrival: pull newly-appeared recordings into free
+            # slots between ticks (non-blocking directory scan)
+            if args.follow or backlog:
+                scan_new()
+                fill_slots()
+            if not streams:
+                if not args.follow and not backlog:
+                    break  # all recordings served
+                idle += poll_s
+                if args.max_idle is not None and idle >= args.max_idle:
+                    break
+                _t.sleep(poll_s)
+                continue
+            idle = 0.0
             step += 1
             if streams and step % args.interval == 0:
                 results = server.predict()

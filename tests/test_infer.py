@@ -171,3 +171,58 @@ def test_serve_mode_cli(tmp_path, capsys):
     out = capsys.readouterr().out
     assert "[cam0] frame 6" in out and "[cam1] frame 6" in out
     assert "2 streams in" in out
+
+
+def test_serve_mode_live_arrival_and_slot_reuse(tmp_path, capsys):
+    """--serve with --follow: recordings that appear mid-run attach into
+    freed slots (live multi-camera arrival); with more files than slots,
+    the backlog drains as streams end."""
+    import threading
+    import time
+
+    import numpy as np
+    import yaml
+
+    import infer as infer_cli
+    from agcn_tpu.graph import build_adjacency
+    from agcn_tpu.models import AGCN
+    from agcn_tpu.train.checkpoint import save_checkpoint
+
+    adj = build_adjacency("ntu_rgb_d")
+    model = AGCN(num_class=4, adj=adj)
+    x = np.zeros((1, 3, 16, 25, 2), np.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x),
+                           train=False)
+    ckpt = tmp_path / "epoch_1.npz"
+    save_checkpoint(str(ckpt), {"params": variables["params"],
+                                "batch_stats": variables["batch_stats"]})
+    cfg = tmp_path / "cfg.yaml"
+    cfg.write_text(yaml.safe_dump(dict(
+        model="agcn", model_args=dict(num_class=4, graph="ntu_rgb_d"))))
+    d = tmp_path / "streams"
+    d.mkdir()
+    rng = np.random.default_rng(0)
+
+    def rec(name):
+        np.save(d / name,
+                rng.standard_normal((1, 3, 12, 25, 2)).astype(np.float32))
+
+    rec("cam0.npy")
+    rec("cam1.npy")
+    rec("cam2.npy")  # backlog: only 2 slots
+
+    def late_arrival():
+        time.sleep(3.0)
+        rec("cam3.npy")
+
+    t = threading.Thread(target=late_arrival)
+    t.start()
+    infer_cli.main(["--config", str(cfg), "--weights", str(ckpt),
+                    "--input", str(d), "--serve", "2", "--interval", "6",
+                    "--max-frame", "16", "--follow", "--max-idle", "6"])
+    t.join()
+    out = capsys.readouterr().out
+    for cam in ("cam0", "cam1", "cam2", "cam3"):
+        assert f"++ stream [{cam}]" in out
+        assert f"[{cam}] frame" in out  # every stream got predictions
+    assert "-- stream [cam0] ended" in out
