@@ -1,0 +1,125 @@
+"""Checkpoint EXPORT to the reference's PyTorch format.
+
+The inverse of agcn_tpu.utils.torch_import for the flagship AGCN: our
+trained variables become a state_dict the reference model
+(/root/reference equivalent: model/architecture/aagcn/agcn.py `Model`)
+loads with `strict=True` — so checkpoints trained here can be validated
+or deployed inside the original torch harness. Pure numpy; the caller
+wraps values in torch tensors if needed (`torch.load`-compatible files
+can be written with torch.save on the returned dict).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Mapping
+
+import numpy as np
+
+
+def _np(x) -> np.ndarray:
+    return np.asarray(x, dtype=np.float32)
+
+
+def dense_to_pointwise(w) -> np.ndarray:
+    """flax dense (in, out) -> torch 1x1 conv (out, in, 1, 1)."""
+    return _np(w).T[:, :, None, None]
+
+
+def conv_to_torch(w) -> np.ndarray:
+    """flax conv (kh, kw, in, out) -> torch (out, in, kh, kw)."""
+    return np.transpose(_np(w), (3, 2, 0, 1))
+
+
+def _bn_out(out: Dict[str, np.ndarray], prefix: str,
+            params: Mapping[str, Any], stats: Mapping[str, Any]) -> None:
+    out[f"{prefix}.weight"] = _np(params["scale"])
+    out[f"{prefix}.bias"] = _np(params["bias"])
+    out[f"{prefix}.running_mean"] = _np(stats["mean"])
+    out[f"{prefix}.running_var"] = _np(stats["var"])
+    out[f"{prefix}.num_batches_tracked"] = np.asarray(0, dtype=np.int64)
+
+
+def agcn_state_dict_from_variables(variables: Mapping[str, Any],
+                                   num_subset: int = 3
+                                   ) -> Dict[str, np.ndarray]:
+    """Our AGCN variables -> reference agcn.py Model state_dict (numpy
+    values, torch parameter names; loads with strict=True)."""
+    params = variables["params"]
+    stats = variables.get("batch_stats", {})
+    out: Dict[str, np.ndarray] = {}
+
+    _bn_out(out, "data_bn", params["data_bn"], stats["data_bn"])
+    out["fc.weight"] = _np(params["fc"]["kernel"]).T
+    out["fc.bias"] = _np(params["fc"]["bias"])
+
+    for block in sorted(k for k in params if k.startswith("l")):
+        bp, bs = params[block], stats.get(block, {})
+        g, gs = bp["gcn1"], bs.get("gcn1", {})
+        p = f"{block}.gcn1"
+        out[f"{p}.PA"] = _np(g["PA"])
+        for k in range(num_subset):
+            for role in ("a", "b", "d"):
+                out[f"{p}.conv_{role}.{k}.weight"] = dense_to_pointwise(
+                    g[f"conv_{role}{k}_kernel"])
+                out[f"{p}.conv_{role}.{k}.bias"] = _np(
+                    g[f"conv_{role}{k}_bias"])
+        _bn_out(out, f"{p}.bn", g["bn"], gs["bn"])
+        if "down_conv" in g:
+            out[f"{p}.down.0.weight"] = dense_to_pointwise(
+                g["down_conv"]["conv"]["kernel"])
+            out[f"{p}.down.0.bias"] = _np(g["down_conv"]["conv"]["bias"])
+            _bn_out(out, f"{p}.down.1", g["down_bn"], gs["down_bn"])
+        out[f"{block}.tcn1.conv.weight"] = conv_to_torch(
+            bp["tcn1"]["conv"]["conv"]["kernel"])
+        out[f"{block}.tcn1.conv.bias"] = _np(
+            bp["tcn1"]["conv"]["conv"]["bias"])
+        _bn_out(out, f"{block}.tcn1.bn", bp["tcn1"]["bn"],
+                bs["tcn1"]["bn"])
+        if "residual" in bp:
+            out[f"{block}.residual.conv.weight"] = conv_to_torch(
+                bp["residual"]["conv"]["conv"]["kernel"])
+            out[f"{block}.residual.conv.bias"] = _np(
+                bp["residual"]["conv"]["conv"]["bias"])
+            _bn_out(out, f"{block}.residual.bn", bp["residual"]["bn"],
+                    bs["residual"]["bn"])
+    return out
+
+
+def main(argv=None):
+    """CLI: export one of our checkpoints as a reference .pt file.
+
+    python -m agcn_tpu.utils.torch_export --checkpoint work/checkpoints/epoch_50 \
+        --out agcn_joint.pt
+    """
+    import argparse
+
+    p = argparse.ArgumentParser(
+        prog="python -m agcn_tpu.utils.torch_export")
+    p.add_argument("--checkpoint", required=True,
+                   help="orbax dir or .npz saved by the Trainer")
+    p.add_argument("--out", required=True, help=".pt output path")
+    p.add_argument("--model", default="agcn", choices=["agcn"],
+                   help="model family (reference-format export is "
+                        "implemented for the flagship AGCN)")
+    args = p.parse_args(argv)
+
+    # exporting never needs an accelerator — pin the host platform so
+    # the orbax load can't grab (or hang on) the TPU
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import torch
+
+    from agcn_tpu.train.checkpoint import load_checkpoint
+
+    ckpt = load_checkpoint(args.checkpoint)
+    variables = {"params": ckpt["params"],
+                 "batch_stats": ckpt.get("batch_stats", {})}
+    sd = agcn_state_dict_from_variables(variables)
+    torch.save({k: torch.from_numpy(np.ascontiguousarray(v))
+                for k, v in sd.items()}, args.out)
+    print(f"wrote {args.out} ({len(sd)} tensors)")
+
+
+if __name__ == "__main__":
+    main()
