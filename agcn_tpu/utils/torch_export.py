@@ -85,6 +85,85 @@ def agcn_state_dict_from_variables(variables: Mapping[str, Any],
     return out
 
 
+def conv1d_to_torch(w) -> np.ndarray:
+    """flax conv1d (k, in, out) -> torch (out, in, k)."""
+    return np.transpose(_np(w), (2, 1, 0))
+
+
+def aagcn_state_dict_from_variables(variables: Mapping[str, Any],
+                                    num_subset: int = 3,
+                                    adaptive: bool = True
+                                    ) -> Dict[str, np.ndarray]:
+    """Our AAGCN variables -> reference aagcn.py Model state_dict
+    (inverse of torch_import.aagcn_variables_from_torch)."""
+    params = variables["params"]
+    stats = variables.get("batch_stats", {})
+    out: Dict[str, np.ndarray] = {}
+
+    _bn_out(out, "data_bn", params["data_bn"], stats["data_bn"])
+    out["fc.weight"] = _np(params["fc"]["kernel"]).T
+    out["fc.bias"] = _np(params["fc"]["bias"])
+
+    for block in sorted(k for k in params if k.startswith("l")):
+        bp, bs = params[block], stats.get(block, {})
+        g, gs = bp["gcn1"], bs.get("gcn1", {})
+        p = f"{block}.gcn1"
+        a = g["agcn"]
+        for k in range(num_subset):
+            out[f"{p}.conv_d.{k}.weight"] = dense_to_pointwise(
+                a[f"conv_d{k}_kernel"])
+            out[f"{p}.conv_d.{k}.bias"] = _np(a[f"conv_d{k}_bias"])
+            if adaptive:
+                # the reference passes the unit's conv_d ModuleList into
+                # AdaptiveGCN, which registers it AGAIN (aagcn.py:228-233)
+                # — strict load wants both aliases of the shared weights
+                out[f"{p}.agcn.conv_d.{k}.weight"] = \
+                    out[f"{p}.conv_d.{k}.weight"]
+                out[f"{p}.agcn.conv_d.{k}.bias"] = \
+                    out[f"{p}.conv_d.{k}.bias"]
+                for role in ("a", "b"):
+                    out[f"{p}.agcn.conv_{role}.{k}.weight"] = \
+                        dense_to_pointwise(a[f"conv_{role}{k}_kernel"])
+                    out[f"{p}.agcn.conv_{role}.{k}.bias"] = _np(
+                        a[f"conv_{role}{k}_bias"])
+        if adaptive:
+            out[f"{p}.agcn.PA"] = _np(a["PA"])
+            out[f"{p}.agcn.alpha"] = _np(a["alpha"])
+        if "attn_s" in g:
+            out[f"{p}.attn_s.conv_sa.weight"] = conv1d_to_torch(
+                g["attn_s"]["conv_sa"]["kernel"])
+            out[f"{p}.attn_s.conv_sa.bias"] = _np(
+                g["attn_s"]["conv_sa"]["bias"])
+            out[f"{p}.attn_t.conv_ta.weight"] = conv1d_to_torch(
+                g["attn_t"]["conv_ta"]["kernel"])
+            out[f"{p}.attn_t.conv_ta.bias"] = _np(
+                g["attn_t"]["conv_ta"]["bias"])
+            for fc in ("fc1c", "fc2c"):
+                out[f"{p}.attn_c.{fc}.weight"] = _np(
+                    g["attn_c"][fc]["kernel"]).T
+                out[f"{p}.attn_c.{fc}.bias"] = _np(g["attn_c"][fc]["bias"])
+        _bn_out(out, f"{p}.bn", g["bn"], gs["bn"])
+        if "down_conv" in g:
+            out[f"{p}.down.0.weight"] = dense_to_pointwise(
+                g["down_conv"]["conv"]["kernel"])
+            out[f"{p}.down.0.bias"] = _np(g["down_conv"]["conv"]["bias"])
+            _bn_out(out, f"{p}.down.1", g["down_bn"], gs["down_bn"])
+        out[f"{block}.tcn1.conv.weight"] = conv_to_torch(
+            bp["tcn1"]["conv"]["conv"]["kernel"])
+        out[f"{block}.tcn1.conv.bias"] = _np(
+            bp["tcn1"]["conv"]["conv"]["bias"])
+        _bn_out(out, f"{block}.tcn1.bn", bp["tcn1"]["bn"],
+                bs["tcn1"]["bn"])
+        if "residual" in bp:
+            out[f"{block}.residual.conv.weight"] = conv_to_torch(
+                bp["residual"]["conv"]["conv"]["kernel"])
+            out[f"{block}.residual.conv.bias"] = _np(
+                bp["residual"]["conv"]["conv"]["bias"])
+            _bn_out(out, f"{block}.residual.bn", bp["residual"]["bn"],
+                    bs["residual"]["bn"])
+    return out
+
+
 def main(argv=None):
     """CLI: export one of our checkpoints as a reference .pt file.
 
@@ -98,9 +177,9 @@ def main(argv=None):
     p.add_argument("--checkpoint", required=True,
                    help="orbax dir or .npz saved by the Trainer")
     p.add_argument("--out", required=True, help=".pt output path")
-    p.add_argument("--model", default="agcn", choices=["agcn"],
-                   help="model family (reference-format export is "
-                        "implemented for the flagship AGCN)")
+    p.add_argument("--model", default="agcn",
+                   choices=["agcn", "aagcn"],
+                   help="model family to export as")
     args = p.parse_args(argv)
 
     # exporting never needs an accelerator — pin the host platform so
@@ -115,7 +194,9 @@ def main(argv=None):
     ckpt = load_checkpoint(args.checkpoint)
     variables = {"params": ckpt["params"],
                  "batch_stats": ckpt.get("batch_stats", {})}
-    sd = agcn_state_dict_from_variables(variables)
+    export = (agcn_state_dict_from_variables if args.model == "agcn"
+              else aagcn_state_dict_from_variables)
+    sd = export(variables)
     torch.save({k: torch.from_numpy(np.ascontiguousarray(v))
                 for k, v in sd.items()}, args.out)
     print(f"wrote {args.out} ({len(sd)} tensors)")

@@ -73,3 +73,42 @@ def test_reference_model_loads_export_strict_and_matches():
         ours = ours[0]
     np.testing.assert_allclose(np.asarray(ours), ref_logits,
                                atol=2e-4, rtol=2e-4)
+
+
+@pytest.mark.skipif(not reference_available(), reason="reference not mounted")
+def test_aagcn_export_strict_load_and_matches():
+    import torch
+
+    add_reference_to_path()
+    from model.architecture.aagcn.aagcn import Model as TorchAAGCN
+
+    from agcn_tpu.models.aagcn import AAGCN
+    from agcn_tpu.utils.torch_export import aagcn_state_dict_from_variables
+
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    adj = build_adjacency("ntu_rgb_d")
+    model = AAGCN(num_class=6, adj=adj)
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((2, 3, 16, 25, 2)), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    _, updates = model.apply(variables, x, train=True,
+                             mutable=["batch_stats"],
+                             rngs={"dropout": jax.random.PRNGKey(1)})
+    variables = {"params": variables["params"],
+                 "batch_stats": updates["batch_stats"]}
+    sd = {k: torch.from_numpy(np.ascontiguousarray(v))
+          for k, v in aagcn_state_dict_from_variables(variables).items()}
+    ref = TorchAAGCN(num_class=6, num_point=25, num_person=2,
+                     graph="graph.ntu_rgb_d.Graph",
+                     graph_args={"labeling_mode": "spatial"})
+    missing, unexpected = ref.load_state_dict(sd, strict=True)
+    assert not missing and not unexpected
+    ref.eval()
+    with torch.no_grad():
+        out = ref(torch.from_numpy(np.asarray(x)))
+    ref_logits = (out[0] if isinstance(out, tuple) else out).numpy()
+    ours = model.apply(variables, x, train=False)
+    if isinstance(ours, tuple):
+        ours = ours[0]
+    np.testing.assert_allclose(np.asarray(ours), ref_logits,
+                               atol=2e-4, rtol=2e-4)
