@@ -164,6 +164,57 @@ def aagcn_state_dict_from_variables(variables: Mapping[str, Any],
     return out
 
 
+def sgn_original_state_dict_from_variables(variables: Mapping[str, Any]
+                                           ) -> Dict[str, np.ndarray]:
+    """Our SGNOriginal variables -> original microsoft/SGN state_dict
+    (inverse of torch_import.sgn_original_variables_from_torch)."""
+    params = variables["params"]
+    stats = variables.get("batch_stats", {})
+    out: Dict[str, np.ndarray] = {}
+
+    def dense(flax_node, torch_prefix):
+        out[f"{torch_prefix}.weight"] = dense_to_pointwise(
+            flax_node["kernel"])
+        if "bias" in flax_node:
+            out[f"{torch_prefix}.bias"] = _np(flax_node["bias"])
+
+    for f_name, t_name, normed in (("pos_embed", "joint_embed", True),
+                                   ("dif_embed", "dif_embed", True),
+                                   ("spa_embed", "spa_embed", False),
+                                   ("tem_embed", "tem_embed", False)):
+        node = params[f_name]
+        i = 0
+        if normed:
+            _bn_out(out, f"{t_name}.cnn.0.bn", node["in_norm"],
+                    stats[f_name]["in_norm"])
+            i = 1
+        dense(node["cnn1"]["conv"], f"{t_name}.cnn.{i}.cnn")
+        dense(node["cnn2"]["conv"], f"{t_name}.cnn.{i + 2}.cnn")
+
+    dense(params["g1"]["conv"], "compute_g1.g1.cnn")
+    dense(params["g2"]["conv"], "compute_g1.g2.cnn")
+
+    for i in (1, 2, 3):
+        out[f"gcn{i}.w.cnn.weight"] = dense_to_pointwise(
+            params[f"gcn{i}"]["w"]["kernel"])
+        dense(params[f"gcn{i}"]["w1"]["conv"], f"gcn{i}.w1.cnn")
+        _bn_out(out, f"gcn{i}.bn", params[f"gcn{i}"]["norm"],
+                stats[f"gcn{i}"]["norm"])
+
+    # torch local conv is (1,3) over the W=time axis -> (out, in, 1, 3)
+    out["cnn.cnn1.weight"] = np.transpose(
+        _np(params["t_cnn1"]["kernel"]), (3, 2, 1, 0))
+    if "bias" in params["t_cnn1"]:
+        out["cnn.cnn1.bias"] = _np(params["t_cnn1"]["bias"])
+    _bn_out(out, "cnn.bn1", params["t_norm1"], stats["t_norm1"])
+    dense(params["t_cnn2"]["conv"], "cnn.cnn2")
+    _bn_out(out, "cnn.bn2", params["t_norm2"], stats["t_norm2"])
+
+    out["fc.weight"] = _np(params["fc"]["kernel"]).T
+    out["fc.bias"] = _np(params["fc"]["bias"])
+    return out
+
+
 def main(argv=None):
     """CLI: export one of our checkpoints as a reference .pt file.
 
@@ -178,7 +229,7 @@ def main(argv=None):
                    help="orbax dir or .npz saved by the Trainer")
     p.add_argument("--out", required=True, help=".pt output path")
     p.add_argument("--model", default="agcn",
-                   choices=["agcn", "aagcn"],
+                   choices=["agcn", "aagcn", "sgn_original"],
                    help="model family to export as")
     args = p.parse_args(argv)
 
@@ -194,9 +245,10 @@ def main(argv=None):
     ckpt = load_checkpoint(args.checkpoint)
     variables = {"params": ckpt["params"],
                  "batch_stats": ckpt.get("batch_stats", {})}
-    export = (agcn_state_dict_from_variables if args.model == "agcn"
-              else aagcn_state_dict_from_variables)
-    sd = export(variables)
+    export = {"agcn": agcn_state_dict_from_variables,
+              "aagcn": aagcn_state_dict_from_variables,
+              "sgn_original": sgn_original_state_dict_from_variables}
+    sd = export[args.model](variables)
     torch.save({k: torch.from_numpy(np.ascontiguousarray(v))
                 for k, v in sd.items()}, args.out)
     print(f"wrote {args.out} ({len(sd)} tensors)")

@@ -112,3 +112,38 @@ def test_aagcn_export_strict_load_and_matches():
         ours = ours[0]
     np.testing.assert_allclose(np.asarray(ours), ref_logits,
                                atol=2e-4, rtol=2e-4)
+
+
+@pytest.mark.skipif(not reference_available(), reason="reference not mounted")
+def test_sgn_original_export_strict_load_and_matches(monkeypatch):
+    import torch
+
+    add_reference_to_path()
+    monkeypatch.setattr(torch.Tensor, "cuda",
+                        lambda self, *a, **k: self, raising=False)
+    from model.architecture.sgn.archiv.sgn import SGN as TorchSGN
+
+    from agcn_tpu.models.sgn_original import SGNOriginal
+    from agcn_tpu.utils.torch_export import \
+        sgn_original_state_dict_from_variables
+
+    model = SGNOriginal(num_class=9)
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.standard_normal((2, 20, 75)), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    _, updates = model.apply(variables, x, train=True,
+                             mutable=["batch_stats"],
+                             rngs={"dropout": jax.random.PRNGKey(1)})
+    variables = {"params": variables["params"],
+                 "batch_stats": updates["batch_stats"]}
+    sd = {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in
+          sgn_original_state_dict_from_variables(variables).items()}
+    ref = TorchSGN(num_class=9)
+    missing, unexpected = ref.load_state_dict(sd, strict=True)
+    assert not missing and not unexpected
+    ref.eval()
+    with torch.no_grad():
+        ref_logits = ref(torch.from_numpy(np.asarray(x)))[0].numpy()
+    ours, _ = model.apply(variables, x, train=False)
+    np.testing.assert_allclose(np.asarray(ours), ref_logits,
+                               atol=2e-4, rtol=2e-4)
