@@ -49,9 +49,13 @@ def pre_normalization(data: np.ndarray,
     if center or center_firstframe:
         assert center != center_firstframe
     if native_ok and data.dtype == np.float32 and data.shape[1] == 3:
-        # native host kernel (native/skelio.cpp pre_normalize): ~20x on
-        # the serving/gen hot path; within one float32 ulp of this numpy
-        # implementation (BLAS summation order), equivalence-tested.
+        # native host kernel (agcn_tpu/native/skelio.cpp pre_normalize):
+        # measured 6.2x serving / 5.7x gen batches (PERF.md); within
+        # ~1 float32 ulp of this numpy implementation (BLAS summation
+        # order) with one caveat: the discrete zero-sum branch tests
+        # (pad/compress/rotate gates) accumulate in double vs numpy's
+        # float32 pairwise sums — adversarially canceling inputs could
+        # branch differently; clean skeleton data cannot.
         # native_ok=False forces the numpy path (the parity reference).
         from agcn_tpu import native
 

@@ -14,10 +14,21 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__))))
-_SRC = os.path.join(_REPO_ROOT, "native", "skelio.cpp")
-_LIB = os.path.join(_REPO_ROOT, "native", "libskelio.so")
+_PKG_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_PKG_DIR, "skelio.cpp")
+
+
+def _lib_path() -> str:
+    """Build destination: next to the source when writable (dev repo),
+    else a user cache dir (read-only site-packages installs)."""
+    if os.access(_PKG_DIR, os.W_OK):
+        return os.path.join(_PKG_DIR, "libskelio.so")
+    cache = os.path.join(os.path.expanduser("~"), ".cache", "agcn_tpu")
+    os.makedirs(cache, exist_ok=True)
+    return os.path.join(cache, "libskelio.so")
+
+
+_LIB = _lib_path()
 
 _lib: Optional[ctypes.CDLL] = None
 _tried = False
@@ -134,6 +145,12 @@ def pre_normalize(data: np.ndarray,
     if lib is None or data.shape[1] != 3:
         return None
     n, c, t, v, m = data.shape
+    for pair in (zaxis, xaxis):
+        # numpy wraps negative joint indices and raises on >= V; the C
+        # sentinel for "skip" is -1, so route anything outside [0, V)
+        # to the numpy path rather than silently diverge
+        if pair is not None and any(j < 0 or j >= v for j in pair):
+            return None
     s = np.ascontiguousarray(
         np.transpose(data, (0, 4, 2, 3, 1)), dtype=np.float32)
     z_from, z_to = (zaxis[0], zaxis[1]) if zaxis is not None else (-1, -1)

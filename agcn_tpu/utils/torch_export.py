@@ -30,6 +30,16 @@ def conv_to_torch(w) -> np.ndarray:
     return np.transpose(_np(w), (3, 2, 0, 1))
 
 
+def _require_stats(variables: Mapping[str, Any]) -> Mapping[str, Any]:
+    stats = variables.get("batch_stats") or {}
+    if not stats:
+        raise ValueError(
+            "export requires batch_stats (BN running statistics) — the "
+            "reference state_dict carries running_mean/var for every BN; "
+            "this checkpoint has none")
+    return stats
+
+
 def _bn_out(out: Dict[str, np.ndarray], prefix: str,
             params: Mapping[str, Any], stats: Mapping[str, Any]) -> None:
     out[f"{prefix}.weight"] = _np(params["scale"])
@@ -45,7 +55,7 @@ def agcn_state_dict_from_variables(variables: Mapping[str, Any],
     """Our AGCN variables -> reference agcn.py Model state_dict (numpy
     values, torch parameter names; loads with strict=True)."""
     params = variables["params"]
-    stats = variables.get("batch_stats", {})
+    stats = _require_stats(variables)
     out: Dict[str, np.ndarray] = {}
 
     _bn_out(out, "data_bn", params["data_bn"], stats["data_bn"])
@@ -97,7 +107,7 @@ def aagcn_state_dict_from_variables(variables: Mapping[str, Any],
     """Our AAGCN variables -> reference aagcn.py Model state_dict
     (inverse of torch_import.aagcn_variables_from_torch)."""
     params = variables["params"]
-    stats = variables.get("batch_stats", {})
+    stats = _require_stats(variables)
     out: Dict[str, np.ndarray] = {}
 
     _bn_out(out, "data_bn", params["data_bn"], stats["data_bn"])
@@ -169,7 +179,7 @@ def sgn_original_state_dict_from_variables(variables: Mapping[str, Any]
     """Our SGNOriginal variables -> original microsoft/SGN state_dict
     (inverse of torch_import.sgn_original_variables_from_torch)."""
     params = variables["params"]
-    stats = variables.get("batch_stats", {})
+    stats = _require_stats(variables)
     out: Dict[str, np.ndarray] = {}
 
     def dense(flax_node, torch_prefix):

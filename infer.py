@@ -79,12 +79,8 @@ def iter_stream_files(path: str, follow: bool, poll_s: float = 0.5,
     seen = set()
     idle = 0.0
     while True:
-        entries = [os.path.join(path, f) for f in os.listdir(path)
-                   if f.endswith((".skeleton", ".npy"))]
-        fresh = sorted((os.path.getmtime(e), e) for e in entries
-                       if e not in seen)
-        for _, e in fresh:
-            seen.add(e)
+        fresh = scan_new_files(path, seen)
+        for e in fresh:
             idle = 0.0
             yield e
         if not follow:
@@ -94,6 +90,28 @@ def iter_stream_files(path: str, follow: bool, poll_s: float = 0.5,
             if max_idle_s is not None and idle >= max_idle_s:
                 return
             _t.sleep(poll_s)
+
+
+def scan_new_files(path: str, seen: set):
+    """Non-blocking mtime-ordered scan for unseen recordings; marks
+    returned entries as seen. Files can vanish between listdir and stat
+    (an external recorder renaming/deleting) — those are skipped, not
+    fatal."""
+    fresh = []
+    for name in os.listdir(path):
+        if not name.endswith((".skeleton", ".npy")):
+            continue
+        e = os.path.join(path, name)
+        if e in seen:
+            continue
+        try:
+            fresh.append((os.path.getmtime(e), e))
+        except OSError:
+            continue  # vanished mid-scan; retry next poll
+    fresh.sort()
+    out = [e for _, e in fresh]
+    seen.update(out)
+    return out
 
 
 def _serve(args, model, variables, kind, num_joint, multi_test, cfg,
@@ -127,19 +145,18 @@ def _serve(args, model, variables, kind, num_joint, multi_test, cfg,
         print(f"++ stream [{tag}]", flush=True)
 
     def scan_new():
-        """Non-blocking mtime-ordered scan for unseen recordings."""
-        entries = [os.path.join(args.input, e)
-                   for e in os.listdir(args.input)
-                   if e.endswith((".skeleton", ".npy"))]
-        fresh = sorted((os.path.getmtime(e), e) for e in entries
-                       if e not in seen)
-        for _, e in fresh:
-            seen.add(e)
-            backlog.append(e)
+        backlog.extend(scan_new_files(args.input, seen))
 
     def fill_slots():
         while backlog and len(streams) < args.serve:
-            attach(backlog.pop(0))
+            f = backlog.pop(0)
+            try:
+                attach(f)
+            except Exception as e:
+                # a half-written or corrupt recording must not take the
+                # whole multi-camera server down; drop it and move on
+                print(f"!! skipping {os.path.basename(f)}: {e}",
+                      flush=True)
 
     scan_new()
     if not backlog and not args.follow:
@@ -157,7 +174,14 @@ def _serve(args, model, variables, kind, num_joint, multi_test, cfg,
         while True:
             done = []
             for sid, (tag, frames) in streams.items():
-                frame = next(frames, None)
+                try:
+                    frame = next(frames, None)
+                except Exception as e:
+                    # half-written/corrupt recording: end THIS stream,
+                    # keep serving the others
+                    print(f"!! stream [{tag}] read error: {e}",
+                          flush=True)
+                    frame = None
                 if frame is None:
                     done.append(sid)
                 else:
@@ -167,13 +191,22 @@ def _serve(args, model, variables, kind, num_joint, multi_test, cfg,
                 del streams[sid]
                 server.remove_stream(sid)
             # live arrival: pull newly-appeared recordings into free
-            # slots between ticks (non-blocking directory scan)
-            if args.follow or backlog:
-                scan_new()
+            # slots (directory scans are O(files) — throttle to the
+            # prediction cadence, plus whenever slots just freed)
+            if backlog or done or (args.follow
+                                   and step % args.interval == 0):
+                if args.follow:
+                    scan_new()
                 fill_slots()
             if not streams:
                 if not args.follow and not backlog:
                     break  # all recordings served
+                if args.follow:
+                    scan_new()  # idle: always look for arrivals
+                    fill_slots()
+                    if streams:
+                        idle = 0.0
+                        continue
                 idle += poll_s
                 if args.max_idle is not None and idle >= args.max_idle:
                     break

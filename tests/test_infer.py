@@ -173,6 +173,7 @@ def test_serve_mode_cli(tmp_path, capsys):
     assert "2 streams in" in out
 
 
+@pytest.mark.slow
 def test_serve_mode_live_arrival_and_slot_reuse(tmp_path, capsys):
     """--serve with --follow: recordings that appear mid-run attach into
     freed slots (live multi-camera arrival); with more files than slots,
