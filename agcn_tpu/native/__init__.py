@@ -1,4 +1,4 @@
-"""Native host-side kernels (ctypes bindings to native/skelio.cpp).
+"""Native host-side kernels (ctypes bindings to skelio.cpp in this package).
 
 Auto-builds the shared library with g++ on first use (cached next to the
 source); every entry point has a pure-numpy fallback so the framework
