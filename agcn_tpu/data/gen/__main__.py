@@ -14,6 +14,9 @@ data_gen/openpose/openpose_b25_j15_ntu_gendata.py):
         --skeleton-root raw/ --out-dir out_sgn/
     python -m agcn_tpu.data.gen openpose --data-path raw/ --out-path out/ \
         --benchmark xview --part train
+    python -m agcn_tpu.data.gen explore --data-path raw/ --classes 7 8 \
+        --read-frames --render-sample S001C001P001R001A008.skeleton \
+        --save sample.gif   # reference data_gen/ntu_explore.py
 """
 
 import argparse
@@ -65,6 +68,24 @@ def main(argv=None):
     op.add_argument("--subset", action="store_true",
                     help="keep only the 9-class demo label subset")
 
+    ex = sub.add_parser("explore",
+                        help="dataset statistics + sample rendering "
+                             "(reference data_gen/ntu_explore.py)")
+    ex.add_argument("--data-path", required=True,
+                    help="raw .skeleton dir OR a generated .npy dataset")
+    ex.add_argument("--label-path", default=None,
+                    help="label pkl for a .npy dataset")
+    ex.add_argument("--benchmark", default="xview",
+                    choices=["xview", "xsub"])
+    ex.add_argument("--classes", nargs="+", type=int, default=None,
+                    help="0-based label subset filter")
+    ex.add_argument("--read-frames", action="store_true",
+                    help="also parse every raw file for frame/body stats")
+    ex.add_argument("--render-sample", default=None,
+                    help=".skeleton filename to animate")
+    ex.add_argument("--save", default=None,
+                    help="gif/mp4 path for --render-sample")
+
     args = p.parse_args(argv)
 
     if args.cmd == "ntu":
@@ -112,6 +133,25 @@ def main(argv=None):
                         benchmark=b, part=part,
                         label_subset=LABEL_MAPPING if args.subset
                         else None)
+    elif args.cmd == "explore":
+        from agcn_tpu.data.gen.explore import (explore_npy, explore_raw,
+                                               render_sample)
+
+        if args.data_path.endswith(".npy"):
+            report = explore_npy(args.data_path, args.label_path,
+                                 classes=args.classes)
+        else:
+            report = explore_raw(args.data_path, benchmark=args.benchmark,
+                                 classes=args.classes,
+                                 read_frames=args.read_frames)
+        for line in report.summary_lines():
+            print(line, flush=True)
+        if args.render_sample:
+            if not args.save:
+                p.error("--render-sample requires --save")
+            out = render_sample(args.data_path, args.render_sample,
+                                args.save)
+            print(f"saved {out}", flush=True)
 
 
 if __name__ == "__main__":

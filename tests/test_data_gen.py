@@ -143,3 +143,73 @@ def test_gen_cli_ntu_and_streams(tmp_path):
     bone = np.load(out / "xview" / "train_data_bone.npy")
     assert bone.shape == train.shape
     assert (out / "xview" / "train_data_joint_motion.npy").exists()
+
+
+def _write_synthetic_skeleton(path, frames=4, seed=0):
+    rng = np.random.default_rng(seed)
+    with open(path, "w") as f:
+        f.write(f"{frames}\n")
+        for _ in range(frames):
+            f.write("1\n")
+            f.write("7205759 0 1 1 1 1 0 0.1 0.2 2\n")
+            f.write("25\n")
+            for _ in range(25):
+                xyz = rng.standard_normal(3) * 0.1
+                f.write(" ".join(f"{v:.5f}" for v in xyz)
+                        + " 100 100 500 500 0 0 0 1 2\n")
+
+
+def test_explore_cli(tmp_path, capsys):
+    """`gen explore` covers the reference's data_gen/ntu_explore.py role:
+    split/class statistics over a raw dir, class filtering, frame/body
+    stats, and rendering one pre-normalized sample to a gif."""
+    from agcn_tpu.data.gen.__main__ import main as gen_main
+
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    # cam 2 -> xview train, cam 1 -> val; actions A005 (label 4), A008 (7)
+    names = ["S001C002P001R001A005.skeleton",
+             "S001C001P002R001A005.skeleton",
+             "S001C002P003R001A008.skeleton"]
+    for i, n in enumerate(names):
+        _write_synthetic_skeleton(raw / n, seed=i)
+
+    gen_main(["explore", "--data-path", str(raw), "--read-frames"])
+    out = capsys.readouterr().out
+    assert "samples: 3" in out
+    assert "train: 2" in out and "val: 1" in out
+    assert "A005: 2" in out and "A008: 1" in out
+    assert "bodies=1: 3" in out
+
+    # class filter (0-based)
+    gen_main(["explore", "--data-path", str(raw), "--classes", "7"])
+    out = capsys.readouterr().out
+    assert "samples: 1" in out and "A005" not in out
+
+    # render one sample
+    gif = tmp_path / "s.gif"
+    gen_main(["explore", "--data-path", str(raw),
+              "--render-sample", names[0], "--save", str(gif)])
+    assert gif.exists() and gif.stat().st_size > 0
+
+
+def test_explore_npy(tmp_path):
+    from agcn_tpu.data.gen.explore import explore_npy
+
+    data = np.zeros((3, 3, 10, 25, 2), dtype=np.float32)
+    data[0, :, :4, :, 0] = 1.0          # 4 valid frames, 1 body
+    data[1, :, :7, :, :] = 1.0          # 7 valid frames, 2 bodies
+    data[2, :, :10, :, 0] = 1.0
+    npy = tmp_path / "d.npy"
+    np.save(npy, data)
+    with open(tmp_path / "l.pkl", "wb") as f:
+        pickle.dump((["a", "b", "c"], [0, 1, 1]), f)
+
+    rep = explore_npy(str(npy), str(tmp_path / "l.pkl"))
+    assert rep.n_samples == 3
+    assert rep.class_counts == {0: 1, 1: 2}
+    assert sorted(rep.frame_lengths) == [4, 7, 10]
+    assert sorted(rep.body_counts) == [1, 1, 2]
+
+    rep = explore_npy(str(npy), str(tmp_path / "l.pkl"), classes=[1])
+    assert rep.n_samples == 2 and rep.class_counts == {1: 2}
