@@ -92,25 +92,35 @@ def make_hybrid_partitioned_gcn(adj: np.ndarray, mesh: Mesh) -> Callable:
 
     Dense-masked edge slices cannot shrink a V<=25 dense matmul, so pure
     edge sharding replicates compute (see bench_scaling.py). Instead the
-    'edge' axis is split into (subset, output) factors: each device owns
-    ceil(K/ks) adjacency subsets and a 1/os slice of the output channels —
-    per-device FLOPs are ~(1/P) of the total. Partials combine with a
-    psum over the subset factor and an all-gather over the output factor,
-    both emitted by XLA from one shard_map.
+    'edge' axis is split into (subset, output) factors chosen to MINIMIZE
+    padded per-device work — ceil(K/ks)/K * 1/os — and the two einsums
+    run PROJECT-FIRST (x @ W commutes with the aggregation) so both the
+    projection and the V x V aggregation carry only the device's
+    (subset, output-chunk) share: per-device FLOPs are ~1/P of the total
+    (verified by the compiled cost model in SCALING_r*.json). Partials
+    combine with a psum over the subset factor and an all-gather over
+    the output factor, both emitted by XLA from one shard_map.
 
     Returns (fn, adj_parts) with fn(x (B,T,V,C), adj_parts, w (K,C,Co))
     -> (B,T,V,Co).
     """
     p = mesh.shape["edge"]
     k, v, _ = adj.shape
-    # largest divisor of p that fits the subset count
-    ks = max(d for d in range(1, p + 1) if p % d == 0 and d <= k)
-    os_ = p // ks            # output-channel factor
-    # pad K to a multiple of ks with zero subsets
-    k_pad = -k % ks
+    # choose the (subset, output) factorization minimizing padded
+    # per-device work; with project-first both factors divide real FLOPs,
+    # so for small K (3 spatial subsets) pure output sharding wins
+    best = None
+    for ks in (d for d in range(1, p + 1) if p % d == 0 and d <= k):
+        os_c = p // ks
+        per_c = -(-k // ks)
+        ratio = per_c / k / os_c
+        if best is None or ratio < best[0]:
+            best = (ratio, ks, os_c, per_c)
+    _, ks, os_, per = best
+    # pad K to ks * per with zero subsets
+    k_pad = ks * per - k
     adj_padded = np.concatenate(
         [adj, np.zeros((k_pad, v, v), adj.dtype)]) if k_pad else adj
-    per = (k + k_pad) // ks
     # device d = (s, o): owns subsets [s*per, (s+1)*per)
     parts = np.stack([adj_padded[s * per:(s + 1) * per]
                       for s in range(ks) for _ in range(os_)])
@@ -126,24 +136,33 @@ def make_hybrid_partitioned_gcn(adj: np.ndarray, mesh: Mesh) -> Callable:
         s = d // os_
         o = d % os_
         co = w.shape[-1]
-        chunk = co // os_
-        w_pad = jnp.concatenate(
-            [w, jnp.zeros((k_pad,) + w.shape[1:], w.dtype)]) if k_pad \
-            else w
+        co_pad = -co % os_   # pad channels so every device gets a chunk
+        chunk = (co + co_pad) // os_
+        w_pad = w
+        if k_pad:
+            w_pad = jnp.concatenate(
+                [w_pad, jnp.zeros((k_pad,) + w.shape[1:], w.dtype)])
+        if co_pad:
+            w_pad = jnp.concatenate(
+                [w_pad, jnp.zeros(w_pad.shape[:-1] + (co_pad,), w.dtype)],
+                axis=-1)
         # my subset slice of the weights, my output-channel slice
         w_local = jax.lax.dynamic_slice(
-            w_pad, (s * per, 0, 0), (per, w.shape[1], co))
+            w_pad, (s * per, 0, 0), (per, w.shape[1], co + co_pad))
         w_local = jax.lax.dynamic_slice(
             w_local, (0, 0, o * chunk), (per, w.shape[1], chunk))
-        partial = jnp.einsum("btvc,kvw->kbtwc", xl, adj_local[0])
-        z = jnp.einsum("kbtwc,kco->btwo", partial, w_local)  # (..., chunk)
+        # PROJECT-FIRST: the C -> chunk projection shrinks the feature
+        # dim BEFORE the V x V aggregation, so both einsums do only this
+        # device's share of the FLOPs
+        proj = jnp.einsum("btvc,kco->kbtvo", xl, w_local)
+        z = jnp.einsum("kbtvo,kvw->btwo", proj, adj_local[0])
         # place my output slice at its channel offset and psum: slices are
         # disjoint across the output factor and summed across the subset
         # factor, so ONE all-reduce assembles the full output
-        full = jnp.zeros(z.shape[:-1] + (co,), z.dtype)
+        full = jnp.zeros(z.shape[:-1] + (co + co_pad,), z.dtype)
         full = jax.lax.dynamic_update_slice(
             full, z, (0, 0, 0, o * chunk))
-        return jax.lax.psum(full, "edge")
+        return jax.lax.psum(full, "edge")[..., :co]
 
     return run, jnp.asarray(parts)
 

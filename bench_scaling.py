@@ -12,9 +12,14 @@ the efficiency figure is a lower bound with no hardware meaning; on a
 real pod slice (BENCH_SCALING_CPU=0) the same script measures ICI-backed
 scaling, which is the number the >=85% target refers to.
 
-Prints one JSON line per shard count plus a summary efficiency line.
+Besides the per-shard JSON lines, `--out FILE` writes a single scaling
+artifact (SCALING_r*.json) containing the per-shard rates, the
+efficiencies, and the per-device FLOP-division check: the compiled
+program's own cost model must show each device executing ~1/P of the
+1-shard FLOPs (the partitioning divides work, not replicates it).
 """
 
+import argparse
 import json
 import os
 import sys
@@ -40,7 +45,19 @@ from agcn_tpu.parallel import make_mesh
 from agcn_tpu.parallel.edge_partition import make_hybrid_partitioned_gcn
 
 
-def main():
+def _program_flops(lowered_compiled):
+    try:
+        cost = lowered_compiled.cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        if cost:
+            return float(cost.get("flops", 0.0))
+    except Exception:
+        pass
+    return 0.0
+
+
+def run(steps: int = 30, out: str = None):
     adj = build_adjacency("ntu_rgb_d")
     edges_per_instance = sum(es.num_edges
                              for es in spatial_edge_sets("ntu_rgb_d"))
@@ -52,33 +69,89 @@ def main():
 
     n_dev = len(jax.devices())
     results = {}
+    flops = {}
+    rows = []
     for shards in (1, 2, 4, 8):
         if shards > n_dev:
             break
         mesh = make_mesh(data=1, edge=shards)
         fn, parts = make_hybrid_partitioned_gcn(adj, mesh)
-        run = jax.jit(lambda x, p, w: fn(x, p, w))
-        out = run(x, parts, w)
-        jax.block_until_ready(out)
-        steps = 30
+        jfn = jax.jit(lambda x, p, w: fn(x, p, w))
+        compiled = jfn.lower(x, parts, w).compile()
+        flops[shards] = _program_flops(compiled)
+        out_arr = jfn(x, parts, w)
+        jax.block_until_ready(out_arr)
         t0 = time.perf_counter()
         for _ in range(steps):
-            out = run(x, parts, w)
-        jax.block_until_ready(out)
+            out_arr = jfn(x, parts, w)
+        jax.block_until_ready(out_arr)
         dt = time.perf_counter() - t0
         eps = total_edges * steps / dt
         results[shards] = eps
+        rows.append({"shards": shards,
+                     "medges_per_sec": round(eps / 1e6, 2),
+                     "per_device_flops": flops[shards]})
         print(json.dumps({"metric": "edge_partition_edges_per_sec",
                           "shards": shards, "value": round(eps / 1e6, 2),
                           "unit": "Medges/s"}))
 
-    if 1 in results:
-        for s, eps in results.items():
-            if s == 1:
-                continue
-            eff = eps / (results[1] * s)
-            print(json.dumps({"metric": "edge_scaling_efficiency",
-                              "shards": s, "value": round(eff, 3)}))
+    efficiency = {}
+    for s, eps in results.items():
+        if s == 1:
+            continue
+        eff = eps / (results[1] * s)
+        efficiency[str(s)] = round(eff, 3)
+        print(json.dumps({"metric": "edge_scaling_efficiency",
+                          "shards": s, "value": round(eff, 3)}))
+
+    # FLOP-division check: each device's program should carry ~1/P of
+    # the 1-shard FLOPs (collective overhead allowed; replication — a
+    # ratio near 1.0 — is the failure this guards against)
+    flop_division = {}
+    flop_division_ok = True
+    base = flops.get(1, 0.0)
+    for s, f in flops.items():
+        if s == 1 or base <= 0 or f <= 0:
+            continue
+        ratio = f / base
+        flop_division[str(s)] = round(ratio, 4)
+        # ideal 1/s; accept up to 1.6/s for halo/collective overhead
+        if ratio > 1.6 / s:
+            flop_division_ok = False
+
+    artifact = {
+        "metric": "edge_partition_scaling",
+        "platform": jax.default_backend(),
+        "n_devices": n_dev,
+        "virtual_cpu_mesh": os.environ.get("BENCH_SCALING_CPU", "1")
+        == "1",
+        "shape": {"batch": b, "t": t, "v": v, "c": c, "co": co,
+                  "edges_per_instance": edges_per_instance},
+        "steps": steps,
+        "shards": rows,
+        "efficiency": efficiency,
+        "per_device_flop_ratio_vs_1shard": flop_division,
+        "flop_division_ok": flop_division_ok,
+        "note": ("virtual CPU mesh shares one physical CPU: efficiency "
+                 "has no hardware meaning there; the FLOP-division "
+                 "check is the machine-independent signal. On a pod "
+                 "slice the same artifact records real ICI scaling "
+                 "(target >=0.85)."),
+    }
+    if out:
+        with open(out, "w") as f:
+            json.dump(artifact, f, indent=1)
+        print(f"# wrote {out}", file=sys.stderr)
+    return artifact
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=30)
+    ap.add_argument("--out", type=str, default=None,
+                    help="write the scaling artifact JSON here")
+    args = ap.parse_args(argv)
+    run(steps=args.steps, out=args.out)
 
 
 if __name__ == "__main__":
