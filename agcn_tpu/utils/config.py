@@ -140,7 +140,11 @@ def build_argparser() -> argparse.ArgumentParser:
             p.add_argument(flag, type=lambda s: s.lower() in
                            ("1", "true", "yes"), default=None)
         elif f.default_factory is not dataclasses.MISSING \
-                or f.type.startswith("Dict") or f.type.startswith("List"):
+                or f.type.startswith("Dict") or f.type.startswith("List") \
+                or f.type.startswith("Any"):
+            # Any-typed flags (e.g. --device 0 | cpu) parse as YAML in
+            # config_from_cli; typing them from the default would reject
+            # the string forms
             p.add_argument(flag, type=str, default=None)
         else:
             p.add_argument(flag, type=type(f.default)
