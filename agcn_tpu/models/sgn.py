@@ -438,6 +438,17 @@ class GCNSpatialUnit(nn.Module):
 
     @nn.compact
     def __call__(self, x, g, train: bool = False, g_aux=None, y=None):
+        # res_alpha < 0 selects a LEARNABLE scalar ("varalpha" in the
+        # reference ledger): -1 -> ones(1), -2 -> zeros(1)
+        # (blocks/spatial.py:728-733)
+        if self.res_alpha == -1:
+            res_alpha = self.param("res_alpha", nn.initializers.ones,
+                                   (1,))
+        elif self.res_alpha == -2:
+            res_alpha = self.param("res_alpha", nn.initializers.zeros,
+                                   (1,))
+        else:
+            res_alpha = self.res_alpha
         if self.gt_mode == 4 and g_aux is not None:
             # per-frame scalar gates the unit input
             # (blocks/spatial.py:791-794)
@@ -469,18 +480,18 @@ class GCNSpatialUnit(nn.Module):
             x2 = frame_aggregate(x0, g)  # dest = row of G
             x4 = w1(x2)
             x5 = w2(y if self.attn_mode == 10 and y is not None
-                    else x) * self.res_alpha
+                    else x) * res_alpha
             x6 = x4 + x5
         elif self.attn_mode == 1:
             # two linear projections, no G (blocks/spatial.py:813-820)
-            x6 = w1(x0) + w2(x) * self.res_alpha
+            x6 = w1(x0) + w2(x) * res_alpha
         elif self.attn_mode == 2:
             # squeeze-excite instead of G (blocks/spatial.py:821-830)
             se = x0.mean(axis=2, keepdims=True)  # (B,T,1,C)
             se = nn.relu(TConv(self.out_channels // 2,
                                use_bias=self.use_bias, name="w3")(se))
             se = jax.nn.sigmoid(w1(se))
-            x6 = se + w2(x) * self.res_alpha
+            x6 = se + w2(x) * res_alpha
         elif self.attn_mode == 3:
             # single projection (blocks/spatial.py:831-838)
             x6 = w2(x)

@@ -305,6 +305,11 @@ def sgn_variables_from_torch(sd: Mapping[str, Any]) -> Dict[str, Dict]:
             _set(tree["params"], ("sgcn", f"gcn{i}", "w1", "bias"),
                  sd[f"sgcn.gcn{i}.w1.block.conv.conv.bias"])
         plain_conv(f"sgcn.gcn{i}.w2", ("sgcn", f"gcn{i}", "w2"))
+        if f"sgcn.gcn{i}.res_alpha" in sd:
+            # learnable residual scale ("varalpha",
+            # blocks/spatial.py:728-733)
+            _set(tree["params"], ("sgcn", f"gcn{i}", "res_alpha"),
+                 sd[f"sgcn.gcn{i}.res_alpha"])
         if f"sgcn.gcn{i}.w0.block.conv.conv.weight" in sd:
             # gcn_v_kernel > 0: pre-aggregation temporal conv
             plain_conv(f"sgcn.gcn{i}.w0", ("sgcn", f"gcn{i}", "w0"))
@@ -350,6 +355,9 @@ def sgn_variables_from_torch(sd: Mapping[str, Any]) -> Dict[str, Dict]:
             _set(tree["params"], ("sgcn2", f"gcn{i}", "w1", "bias"),
                  sd[f"sgcn2.gcn{i}.w1.block.conv.conv.bias"])
         plain_conv(f"sgcn2.gcn{i}.w2", ("sgcn2", f"gcn{i}", "w2"))
+        if f"sgcn2.gcn{i}.res_alpha" in sd:
+            _set(tree["params"], ("sgcn2", f"gcn{i}", "res_alpha"),
+                 sd[f"sgcn2.gcn{i}.res_alpha"])
         for extra in ("w0", "w3"):
             if f"sgcn2.gcn{i}.{extra}.block.conv.conv.weight" in sd:
                 plain_conv(f"sgcn2.gcn{i}.{extra}",

@@ -96,6 +96,7 @@ def _ours_from(kwargs):
         sgcn_padding=kwargs.get("sgcn_padding", 0),
         sgcn_g_kernel=kwargs.get("sgcn_g_kernel", 1),
         sgcn_v_kernel=kwargs.get("sgcn_v_kernel", 0),
+        sgcn_g_res_alpha=kwargs.get("sgcn_g_res_alpha", 1.0),
         sgcn_gt_mode=kwargs.get("sgcn_gt_mode", 1),
         sgcn_gt_act=kwargs.get("sgcn_gt_act", 1),
         sgcn_gt_g3_idx=kwargs.get("sgcn_gt_g3_idx", 2),
@@ -121,6 +122,11 @@ def _ours_from(kwargs):
     dict(sgcn_gt_mode=5),
     dict(sgcn_gt_mode=5, sgcn_gt_g3_idx=3),
     dict(sgcn_gt_mode=6, multi_t=[[], [], [3], [3]]),
+    # learnable res_alpha ("varalpha"; the ledger-best v13 recipe
+    # 220915120001_gt4_varalpha_sigmoid_multit357, readme.yaml:555-556)
+    dict(sgcn_g_res_alpha=-1, sgcn_gt_mode=4, sgcn_gt_act=2,
+         multi_t=[[], [], [3, 5, 7]]),
+    dict(sgcn_g_res_alpha=-2),  # zero-init learnable variant
     dict(sgcn_kernel=3, sgcn_padding=1, sgcn_g_kernel=3),
     dict(sgcn_v_kernel=3),
     dict(sgcn_ffn=104.0),   # post-norm conv FFN
@@ -132,6 +138,12 @@ def test_parity_vs_torch_reference(overrides):
 
     kwargs = {**V14_KWARGS, **overrides}
     ref = _torch_sgn(**overrides).eval()
+    if overrides.get("sgcn_g_res_alpha", 1.0) < 0:
+        # the learnable alphas init to 1.0/0.0 — perturb them so the
+        # transplant proves the parameter is actually consumed
+        with torch.no_grad():
+            for i, a in enumerate((0.7, 1.3, -0.2)):
+                getattr(ref.sgcn, f"gcn{i + 1}").res_alpha.fill_(a)
     x_np = seg_inputs()
     with torch.no_grad():
         ref_out = ref(torch.from_numpy(x_np))
