@@ -130,6 +130,14 @@ def build_model(name: str, model_args: Dict[str, Any],
             short = k.replace("_kwargs", "")
             if k in args:
                 args[short] = args.pop(k)
+        # reference-only v15 args we fix or that are dead upstream:
+        # norm/act are fixed bn+relu (the only shipped values);
+        # dropout2d only reaches bert-style (mode>=100) embeddings, which
+        # no v15 recipe uses; semantic_frame_fusion is marked UNUSED in
+        # the reference itself (sgn_v15.py:130)
+        for k in ("norm_type", "act_type", "dropout2d",
+                  "semantic_frame_fusion"):
+            args.pop(k, None)
         return SGNTransformer(**args)
     if key == "sgn":
         args = dict(model_args)

@@ -284,6 +284,208 @@ class CrossTransformer(nn.Module):
         return a_tokens, b_tokens
 
 
+class _ChannelNorm(nn.Module):
+    """Normalize tokens (B, N, C) over the channel axis with BN or LN.
+
+    'bn' reproduces the reference's Normalize wrapper
+    (crossattention.py:37-43): transpose to (B, C, N), BatchNorm1d, back
+    — i.e. per-channel statistics over (batch, tokens). Our BatchNorm
+    already reduces over every leading axis, so no transpose is needed.
+    """
+
+    norm: str = "ln"
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False):
+        if self.norm == "bn":
+            from agcn_tpu.ops.norm import BatchNorm
+
+            return BatchNorm(name="norm")(x, train)
+        return nn.LayerNorm(name="norm")(x)
+
+
+class LucidAttention(nn.Module):
+    """lucidrains-style attention (reference crossattention.py:104-198):
+    separate bias-free q/k/v projections of `heads * dim_head`, an output
+    projection to `output_dim` + dropout, and a residual branch that is a
+    Linear whenever dims differ (or res_proj forces one). `dim` is the
+    input feature size (known at init, as in torch)."""
+
+    dim: int
+    heads: int
+    dim_head: int
+    output_dim: int
+    dropout: float = 0.0
+    res_proj: bool = False
+
+    def setup(self):
+        inner = self.heads * self.dim_head
+        dense = dict(kernel_init=init.torch_default_kernel)
+        self.to_q = nn.Dense(inner, use_bias=False, name="to_q", **dense)
+        self.to_k = nn.Dense(inner, use_bias=False, name="to_k", **dense)
+        self.to_v = nn.Dense(inner, use_bias=False, name="to_v", **dense)
+        self.to_out = nn.Dense(self.output_dim, name="to_out",
+                               bias_init=init.torch_default_bias(inner),
+                               **dense)
+        self.out_drop = nn.Dropout(self.dropout, name="out_drop")
+        if self.res_proj or self.dim != self.output_dim:
+            self.residual = nn.Dense(
+                self.output_dim, name="residual",
+                kernel_init=init.torch_default_kernel,
+                bias_init=init.torch_default_bias(self.dim))
+        else:
+            self.residual = None
+
+    def __call__(self, x: jnp.ndarray, train: bool = False):
+        b, n, _ = x.shape
+
+        def head_split(t):
+            return t.reshape(b, n, self.heads,
+                             self.dim_head).transpose(0, 2, 1, 3)
+
+        q, k, v = (head_split(p(x))
+                   for p in (self.to_q, self.to_k, self.to_v))
+        dots = jnp.einsum("bhid,bhjd->bhij", q, k) * self.dim_head ** -0.5
+        attn = jax.nn.softmax(dots, axis=-1)
+        out = jnp.einsum("bhij,bhjd->bhid", attn, v)
+        out = out.transpose(0, 2, 1, 3).reshape(b, n, -1)
+        out = self.out_drop(self.to_out(out), deterministic=not train)
+        return out, attn
+
+    def res(self, x: jnp.ndarray):
+        return x if self.residual is None else self.residual(x)
+
+
+class LucidFeedForward(nn.Module):
+    """lucidrains FFN (crossattention.py:74-100): Linear -> act -> drop ->
+    Linear(-> output_dim) -> drop, residual Linear when dims change."""
+
+    dim: int
+    hidden_dim: int
+    output_dim: int = 0
+    dropout: float = 0.0
+    activation: str = "gelu"
+
+    def setup(self):
+        out_dim = self.output_dim or self.dim
+        dense = dict(kernel_init=init.torch_default_kernel)
+        self.linear1 = nn.Dense(
+            self.hidden_dim, name="linear1",
+            bias_init=init.torch_default_bias(self.dim), **dense)
+        self.linear2 = nn.Dense(
+            out_dim, name="linear2",
+            bias_init=init.torch_default_bias(self.hidden_dim), **dense)
+        self.drop = nn.Dropout(self.dropout)
+        if self.dim != out_dim:
+            self.residual = nn.Dense(
+                out_dim, name="residual",
+                kernel_init=init.torch_default_kernel,
+                bias_init=init.torch_default_bias(self.dim))
+        else:
+            self.residual = None
+
+    def __call__(self, x: jnp.ndarray, train: bool = False):
+        act = {"relu": nn.relu, "gelu": nn.gelu}[self.activation]
+        y = self.drop(act(self.linear1(x)), deterministic=not train)
+        return self.drop(self.linear2(y), deterministic=not train)
+
+    def res(self, x: jnp.ndarray):
+        return x if self.residual is None else self.residual(x)
+
+
+class LucidTransformer(nn.Module):
+    """The reference's CrossViT-derived encoder (crossattention.py:202-304)
+    used by SGN v15 and the transformer AAGCN variants' `norm` mode:
+    per-layer dim lists, separate attention output dim (d_out) and FFN
+    output dim (mlp_out_dim), pre- or post-norm with BN or LN channel
+    normalization, optional global norm.
+
+    forward (crossattention.py:297-304):
+        x = attn(norm(x)) + attn.res(x)      # pre-norm shown
+        x = ffn(norm(x)) + ffn.res(x)
+    """
+
+    depth: int
+    dims: Tuple[int, ...]          # attention input dim per layer
+    heads: Tuple[int, ...]
+    dim_heads: Tuple[int, ...]
+    mlp_dims: Tuple[int, ...]
+    mlp_out_dims: Tuple[int, ...]
+    out_dims: Tuple[int, ...]      # attention output dim per layer (d_out)
+    dropouts: Tuple[float, ...]
+    activation: str = "gelu"
+    norm: str = "ln"
+    global_norm: bool = True
+    post_norm: bool = False
+    res_proj: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False):
+        attn_list = []
+        for i in range(self.depth):
+            attn = LucidAttention(dim=self.dims[i], heads=self.heads[i],
+                                  dim_head=self.dim_heads[i],
+                                  output_dim=self.out_dims[i],
+                                  dropout=self.dropouts[i],
+                                  res_proj=self.res_proj,
+                                  name=f"l{i + 1}_attn")
+            ffn = LucidFeedForward(dim=self.out_dims[i],
+                                   hidden_dim=self.mlp_dims[i],
+                                   output_dim=self.mlp_out_dims[i],
+                                   dropout=self.dropouts[i],
+                                   activation=self.activation,
+                                   name=f"l{i + 1}_ffn")
+            if self.post_norm:
+                y, a = attn(x, train)
+                y = _ChannelNorm(self.norm, name=f"l{i + 1}_attn_norm")(
+                    y, train)
+                x = y + attn.res(x)
+                x = _ChannelNorm(self.norm, name=f"l{i + 1}_ffn_norm")(
+                    ffn(x, train), train) + ffn.res(x)
+            else:
+                y, a = attn(_ChannelNorm(
+                    self.norm, name=f"l{i + 1}_attn_norm")(x, train), train)
+                x = y + attn.res(x)
+                x = ffn(_ChannelNorm(
+                    self.norm, name=f"l{i + 1}_ffn_norm")(x, train),
+                    train) + ffn.res(x)
+            attn_list.append(a)
+        if self.global_norm:
+            x = _ChannelNorm(self.norm, name="global_norm")(x, train)
+        return x, attn_list
+
+    @staticmethod
+    def from_mha_kwargs(kwargs, name: str) -> "LucidTransformer":
+        """Build from the reference's *_mha_kwargs dict
+        (sgn_v15.py:444-457): d_model/nhead/d_head/dim_feedforward/
+        dim_feedforward_output as per-layer lists, d_out defaulting to
+        d_model (crossattention.py:240)."""
+        depth = kwargs["num_layers"]
+
+        def as_list(v, default=None):
+            v = kwargs.get(v, default)
+            if isinstance(v, (int, float)):
+                v = [v] * depth
+            return tuple(v)
+
+        dims = as_list("d_model")
+        return LucidTransformer(
+            depth=depth,
+            dims=dims,
+            heads=as_list("nhead"),
+            dim_heads=as_list("d_head"),
+            mlp_dims=as_list("dim_feedforward"),
+            mlp_out_dims=as_list("dim_feedforward_output", 0),
+            out_dims=as_list("d_out", kwargs["d_model"]),
+            dropouts=as_list("dropout", 0.0),
+            activation=kwargs.get("activation", "gelu"),
+            norm=kwargs.get("norm", "ln"),
+            global_norm=kwargs.get("global_norm", True),
+            post_norm=kwargs.get("post_norm", False),
+            res_proj=kwargs.get("res_proj", False),
+            name=name)
+
+
 class TransformerEncoder(nn.Module):
     """Stack of encoder layers; returns (output, [per-layer attention])."""
 

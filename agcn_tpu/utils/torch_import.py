@@ -731,3 +731,89 @@ def sgn_original_variables_from_torch(sd: Mapping[str, Any]
     _set(tree["params"], ("fc", "kernel"), linear_kernel(sd["fc.weight"]))
     _set(tree["params"], ("fc", "bias"), sd["fc.bias"])
     return tree
+
+
+def sgn_transformer_variables_from_torch(
+        sd: Mapping[str, Any]) -> Dict[str, Dict]:
+    """Map the reference SGN v15 state_dict onto our SGNTransformer.
+
+    Reference naming: model/architecture/sgn/sgn_v15.py (embeddings share
+    the v14 Conv nesting) + the lucidrains transformer
+    (model/layers/attention/crossattention.py:202-304): keys like
+    'spatial_mha.transformer.layers.l1.attn.fn.to_q.weight' and the
+    Normalize-wrapped norms at '...attn.norm.fn.*'.
+    """
+    sd = state_dict_to_numpy(sd)
+    tree: Dict[str, Dict] = {"params": {}, "batch_stats": {}}
+
+    def conv_block(torch_prefix, flax_path):
+        w = sd[f"{torch_prefix}.block.conv.conv.weight"]
+        k = w.shape[-1]
+        conv = pointwise_kernel(w) if k == 1 else np.transpose(
+            w, (3, 2, 1, 0))
+        _set(tree["params"], flax_path + ("cnn", "conv", "kernel"), conv)
+        if f"{torch_prefix}.block.conv.conv.bias" in sd:
+            _set(tree["params"], flax_path + ("cnn", "conv", "bias"),
+                 sd[f"{torch_prefix}.block.conv.conv.bias"])
+        if f"{torch_prefix}.block.norm.weight" in sd:
+            _bn(tree, flax_path + ("norm",), flax_path + ("norm",), sd,
+                f"{torch_prefix}.block.norm")
+
+    def embedding(torch_prefix, flax_name):
+        if f"{torch_prefix}.norm.bn.weight" in sd:
+            _bn(tree, (flax_name, "in_norm"), (flax_name, "in_norm"),
+                sd, f"{torch_prefix}.norm.bn")
+        i = 1
+        while f"{torch_prefix}.cnn{i}.block.conv.conv.weight" in sd:
+            conv_block(f"{torch_prefix}.cnn{i}", (flax_name, f"cnn{i}"))
+            i += 1
+
+    embedding("feature_extractor.pos_embed", "pos_embed")
+    embedding("feature_extractor.vel_embed", "vel_embed")
+    embedding("semantic_embedding.spa_embedding", "joint_embed")
+    embedding("semantic_embedding.tem_embedding", "frame_embed")
+    embedding("semantic_embedding.cls_embedding", "class_embed")
+
+    def channel_norm(torch_prefix, flax_path):
+        """Normalize-wrapped BN1d (running stats) or LayerNorm."""
+        if f"{torch_prefix}.running_mean" in sd:
+            _bn(tree, flax_path + ("norm",), flax_path + ("norm",), sd,
+                torch_prefix)
+        elif f"{torch_prefix}.weight" in sd:
+            _set(tree["params"], flax_path + ("norm", "scale"),
+                 sd[f"{torch_prefix}.weight"])
+            _set(tree["params"], flax_path + ("norm", "bias"),
+                 sd[f"{torch_prefix}.bias"])
+
+    def dense(torch_prefix, flax_path):
+        _set(tree["params"], flax_path + ("kernel",),
+             linear_kernel(sd[f"{torch_prefix}.weight"]))
+        if f"{torch_prefix}.bias" in sd:
+            _set(tree["params"], flax_path + ("bias",),
+                 sd[f"{torch_prefix}.bias"])
+
+    for mha in ("spatial_mha", "temporal_mha"):
+        i = 1
+        while (f"{mha}.transformer.layers.l{i}.attn.fn.to_q.weight"
+               in sd):
+            base = f"{mha}.transformer.layers.l{i}"
+            channel_norm(f"{base}.attn.norm.fn",
+                         (mha, f"l{i}_attn_norm"))
+            channel_norm(f"{base}.ffn.norm.fn", (mha, f"l{i}_ffn_norm"))
+            at, fl = f"{base}.attn.fn", (mha, f"l{i}_attn")
+            for lin in ("to_q", "to_k", "to_v"):
+                dense(f"{at}.{lin}", fl + (lin,))
+            dense(f"{at}.to_out.linear", fl + ("to_out",))
+            if f"{at}.residual.weight" in sd:
+                dense(f"{at}.residual", fl + ("residual",))
+            ff, flf = f"{base}.ffn.fn", (mha, f"l{i}_ffn")
+            dense(f"{ff}.net.linear1", flf + ("linear1",))
+            dense(f"{ff}.net.linear2", flf + ("linear2",))
+            if f"{ff}.residual.weight" in sd:
+                dense(f"{ff}.residual", flf + ("residual",))
+            i += 1
+        channel_norm(f"{mha}.transformer.norm.fn", (mha, "global_norm"))
+
+    _set(tree["params"], ("fc", "kernel"), linear_kernel(sd["fc.weight"]))
+    _set(tree["params"], ("fc", "bias"), sd["fc.bias"])
+    return tree

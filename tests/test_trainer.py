@@ -101,6 +101,73 @@ def test_ensemble_cli(tmp_path):
     assert accs[1] == 1.0
 
 
+@pytest.mark.slow
+def test_two_stream_ensemble_workflow(tmp_path):
+    """The full 2s-AGCN workflow as ONE piece (reference workflow §3.3,
+    ensemble.py:13-33; VERDICT r3 next #7): train the joint stream and
+    the bone stream through main.py, dump score pickles, fuse with
+    ensemble.py — the fused top-1 must be >= each stream's own top-1."""
+    import sys
+
+    sys.path.insert(0, REPO_ROOT)
+    import ensemble as ens
+    import main as main_mod
+
+    from agcn_tpu.data.gen.streams import bone_stream
+
+    rng = np.random.default_rng(0)
+    n, c, t, v, m, num_class = 16, 3, 16, 25, 2, 4
+    joint = rng.standard_normal((n, c, t, v, m)).astype(np.float32) * 0.1
+    labels = (np.arange(n) % num_class).tolist()
+    for i, l in enumerate(labels):
+        # class signal on alternating joints: survives the bone
+        # differencing (a uniform offset would cancel in joint - parent)
+        joint[i, 0, :, ::2] += l * 0.5
+    names = [f"s{i}" for i in range(n)]
+    np.save(tmp_path / "joint.npy", joint)
+    bone = bone_stream(joint)
+    np.save(tmp_path / "bone.npy", bone)
+    with open(tmp_path / "label.pkl", "wb") as f:
+        pickle.dump((names, labels), f)
+
+    score_paths = {}
+    for stream in ("joint", "bone"):
+        dp = str(tmp_path / f"{stream}.npy")
+        lp = str(tmp_path / "label.pkl")
+        wd = str(tmp_path / f"work_{stream}")
+        feeder = {"data_path": dp, "label_path": lp, "window_size": 16}
+        import json as _json
+        main_mod.main([
+            "--config", os.path.join(REPO_ROOT, "configs", "ntu60_xview",
+                                     "train_joint.yaml"),
+            "--work-dir", wd, "--device", "cpu", "--mesh-data", "1",
+            "--model-args", _json.dumps({"num_class": num_class,
+                                         "graph": "ntu_rgb_d"}),
+            "--train-feeder-args", _json.dumps(feeder),
+            "--test-feeder-args", _json.dumps(feeder),
+            "--batch-size", "8", "--test-batch-size", "8",
+            "--num-epoch", "2", "--eval-interval", "1",
+            "--save-interval", "2", "--base-lr", "0.05",
+            "--save-score", "true", "--log-interval", "1000",
+            "--num-worker", "0",
+        ])
+        score_paths[stream] = os.path.join(wd, "score", "epoch2_val.pkl")
+        assert os.path.exists(score_paths[stream]), stream
+
+    fused = ens.main(["--label", str(tmp_path / "label.pkl"),
+                      "--joint-score", score_paths["joint"],
+                      "--bone-score", score_paths["bone"]])
+
+    def top1(path):
+        with open(path, "rb") as f:
+            sc = pickle.load(f)
+        arr = np.stack([np.asarray(sc[s]) for s in names])
+        return float((arr.argmax(-1) == np.asarray(labels)).mean())
+
+    j1, b1 = top1(score_paths["joint"]), top1(score_paths["bone"])
+    assert fused[1] >= max(j1, b1) - 1e-9, (fused, j1, b1)
+
+
 def test_sgn_trainer_end_to_end(tmp_path):
     from agcn_tpu.train.trainer import Trainer
 

@@ -1,6 +1,11 @@
 #!/usr/bin/env python
 """Profile the full AGCN train step on the TPU and print an op-time
-bucket table (parsed from the xplane.pb, PERF.md method).
+bucket table (parsed from the xplane.pb, PERF.md method), plus an
+op-level attribution of the COPY-ONLY windows: for every copy/transpose
+op, the portion of its runtime not overlapped by any compute op, ranked
+— and the matching HLO instructions (with layouts) from the compiled
+module, so each copy can be traced to the producer/consumer layout pair
+that forced it (VERDICT r3 next #1).
 
 Usage: python tools/profile_step.py [batch] [formulation]
 """
@@ -58,6 +63,13 @@ def main(batch=64, formulation="agg_packed"):
                               variables["batch_stats"], tx)
     step = jax.jit(make_train_step(losses.cross_entropy), donate_argnums=0)
     key = jax.random.PRNGKey(0)
+    # compiled HLO text: maps %op names from the trace back to the
+    # instruction (operands, layouts) that produced them
+    hlo_text = ""
+    try:
+        hlo_text = step.lower(state, x, y, key).compile().as_text()
+    except Exception as e:
+        print(f"# HLO text unavailable: {e}", file=sys.stderr)
     state, m = step(state, x, y, key)
     _ = float(m["loss"])
 
@@ -83,6 +95,7 @@ def main(batch=64, formulation="agg_packed"):
     names = defaultdict(float)
     spans = []          # (start, end) of leaf ops for timeline union
     copy_spans = []
+    copy_by_op = defaultdict(list)   # op name -> [(start, end)]
     total = 0.0
     for plane in xs.planes:
         if "TPU" not in plane.name and "tpu" not in plane.name:
@@ -101,8 +114,11 @@ def main(batch=64, formulation="agg_packed"):
                 buckets[cat] += dur
                 names[name] += dur
                 total += dur
-                (copy_spans if cat == "copy/transpose" else spans).append(
-                    (s, s + dur))
+                if cat == "copy/transpose":
+                    copy_spans.append((s, s + dur))
+                    copy_by_op[name].append((s, s + dur))
+                else:
+                    spans.append((s, s + dur))
 
     def union(sp):
         if not sp:
@@ -130,6 +146,63 @@ def main(batch=64, formulation="agg_packed"):
     print("\n== top 20 ops ==")
     for k, v in sorted(names.items(), key=lambda kv: -kv[1])[:20]:
         print(f"  {v/5:8.3f} ms  {k[:160]}")
+
+    # --- copy-only attribution (VERDICT r3 next #1) -------------------
+    # For each copy op, the part of its runtime NOT overlapped by any
+    # compute op = its exclusive contribution to the copy-only windows.
+    def merged(sp):
+        sp = sorted(sp)
+        out = []
+        for a, b in sp:
+            if out and a <= out[-1][1]:
+                out[-1] = (out[-1][0], max(out[-1][1], b))
+            else:
+                out.append((a, b))
+        return out
+
+    comp = merged(spans)
+
+    def exclusive(sp):
+        """Total time of sp outside the compute union."""
+        tot = 0.0
+        ci = 0
+        for a, b in merged(sp):
+            cur = a
+            while ci < len(comp) and comp[ci][1] <= cur:
+                ci += 1
+            j = ci
+            while cur < b:
+                if j >= len(comp) or comp[j][0] >= b:
+                    tot += b - cur
+                    break
+                ca, cb = comp[j]
+                if ca > cur:
+                    tot += ca - cur
+                cur = max(cur, cb)
+                j += 1
+        return tot
+
+    copy_only_total = exclusive(copy_spans)
+    print(f"\n== copy-only window attribution "
+          f"(total {copy_only_total/5:.2f} ms/step) ==")
+    rows = sorted(((exclusive(v), sum(b - a for a, b in v), k)
+                   for k, v in copy_by_op.items()), reverse=True)
+    shown = 0.0
+    hlo_lines = {ln.split(" = ")[0].strip(): ln.strip()
+                 for ln in hlo_text.splitlines() if " = " in ln}
+    for excl, tot, name in rows:
+        if excl < copy_only_total * 0.01:
+            break
+        shown += excl
+        short = name.split(" = ")[0]
+        print(f"  {excl/5:8.3f} ms excl / {tot/5:7.3f} ms total  "
+              f"{name[:140]}")
+        hlo = hlo_lines.get(short.lstrip("%"),
+                            hlo_lines.get(short, ""))
+        if hlo:
+            print(f"      HLO: {hlo[:240]}")
+    print(f"  (attributed {100 * shown / max(copy_only_total, 1e-9):.1f}% "
+          f"of copy-only time to the ops above)")
 
 
 if __name__ == "__main__":
