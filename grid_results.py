@@ -65,10 +65,23 @@ def main(argv=None):
         import numpy as np
 
         def dig(cfg, dotted):
+            """Resolve a dotted key; a trailing [i] / [i:j] indexes a
+            list value (e.g. model_args.c_multiplier[0:2] for the
+            reference's cmulti grid axes, grid_resuts.py:6-66)."""
+            from tools.gen_grid import parse_key
+
+            path, idx = parse_key(dotted)
             node = cfg
-            for part in dotted.split("."):
+            for part in path:
                 node = node.get(part, {}) if isinstance(node, dict) else {}
-            return node if not isinstance(node, dict) else None
+            if isinstance(node, dict):
+                return None
+            if idx is not None:
+                try:
+                    node = node[idx]
+                except (TypeError, IndexError):
+                    return None
+            return tuple(node) if isinstance(node, list) else node
 
         rows, cols, cells = set(), set(), {}
         for d, val in results.items():
