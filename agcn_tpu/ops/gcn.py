@@ -308,6 +308,20 @@ def apply_gcn(x: jnp.ndarray, a1: jnp.ndarray, w: jnp.ndarray,
         return adaptive_gcn_agg_dp(x, a1, w)
     if formulation == "fused_dyn":
         return adaptive_gcn_fused_dyn(x, a1, w)
+    if formulation in ("pallas", "pallas_hybrid"):
+        # fused TPU kernels (ops/pallas/gcn_fused.py): 'pallas' = fwd+bwd
+        # kernels, 'pallas_hybrid' = pallas fwd + tuned XLA cotangents.
+        # Mosaic cannot lay out a minor-dim-3 dot operand (the C=3 entry
+        # layer) — that layer's aggregation intermediate is 21x smaller
+        # than the steady-state blocks', so it keeps the XLA form.
+        # interpret mode keeps the path testable on CPU.
+        if x.shape[-1] < 8:
+            return adaptive_gcn_agg_packed(x, a1, w)
+        from agcn_tpu.ops.pallas import gcn_fused
+
+        fn = (gcn_fused.adaptive_gcn_pallas if formulation == "pallas"
+              else gcn_fused.adaptive_gcn_pallas_hybrid)
+        return fn(x, a1, w, jax.default_backend() == "cpu")
     if formulation == "hybrid":
         v, c = x.shape[-2], x.shape[-1]
         co = w.shape[-1]

@@ -91,3 +91,83 @@ def test_packed_logits_kernel_matches_einsum():
     want = jnp.einsum("btvkc,btwkc->bkvw", theta, phi) / (ce * t)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=1e-5, rtol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# gcn_fused: the round-4 fully-fused fwd+bwd kernel (native layout)
+
+from agcn_tpu.ops.pallas.gcn_fused import adaptive_gcn_pallas
+
+
+@pytest.mark.parametrize("t,c,co", [(48, 16, 32), (50, 64, 64),
+                                    (24, 128, 128), (20, 3, 64)])
+def test_gcn_fused_forward(t, c, co):
+    x, a1, w = _inputs(b=2, t=t, c=c, co=co)
+    out = adaptive_gcn_pallas(x, a1, w, True)
+    ref = reference_fused_gcn(x, a1, w)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-3, rtol=2e-3)
+
+
+def test_gcn_fused_gradients():
+    x, a1, w = _inputs(b=2, t=40, c=32, co=16)
+
+    def lp(x, a1, w):
+        return jnp.sum(adaptive_gcn_pallas(x, a1, w, True) ** 2)
+
+    def lr(x, a1, w):
+        return jnp.sum(reference_fused_gcn(x, a1, w) ** 2)
+
+    gp = jax.grad(lp, argnums=(0, 1, 2))(x, a1, w)
+    gr = jax.grad(lr, argnums=(0, 1, 2))(x, a1, w)
+    for name, a, b in zip("x a1 w".split(), gp, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-2, rtol=1e-2, err_msg=name)
+
+
+def test_gcn_fused_hybrid_matches_reference():
+    """pallas fwd + XLA cotangents: values AND all three grads."""
+    from agcn_tpu.ops.pallas.gcn_fused import adaptive_gcn_pallas_hybrid
+
+    x, a1, w = _inputs(b=2, t=40, c=32, co=16)
+    out = adaptive_gcn_pallas_hybrid(x, a1, w, True)
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(reference_fused_gcn(x, a1, w)),
+                               atol=2e-3, rtol=2e-3)
+    ln = lambda f: (lambda *a: jnp.sum(f(*a) ** 2))
+    gp = jax.grad(ln(lambda x, a1, w: adaptive_gcn_pallas_hybrid(
+        x, a1, w, True)), argnums=(0, 1, 2))(x, a1, w)
+    gr = jax.grad(ln(reference_fused_gcn), argnums=(0, 1, 2))(x, a1, w)
+    for name, a, b in zip("x a1 w".split(), gp, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-2, rtol=1e-2, err_msg=name)
+
+
+@pytest.mark.parametrize("form", ["pallas", "pallas_hybrid"])
+def test_apply_gcn_pallas_dispatch_and_small_c_fallback(form):
+    """apply_gcn routes both pallas forms; C=3 (entry layer) falls back
+    to the XLA agg_packed form (Mosaic minor-dim-3 unsupported)."""
+    from agcn_tpu.ops.gcn import apply_gcn
+
+    x, a1, w = _inputs(b=2, t=24, c=16, co=16)
+    np.testing.assert_allclose(
+        np.asarray(apply_gcn(x, a1, w, form)),
+        np.asarray(reference_fused_gcn(x, a1, w)), atol=2e-3, rtol=2e-3)
+    x3, a13, w3 = _inputs(b=2, t=24, c=3, co=16)
+    np.testing.assert_allclose(
+        np.asarray(apply_gcn(x3, a13, w3, form)),
+        np.asarray(reference_fused_gcn(x3, a13, w3)),
+        atol=2e-3, rtol=2e-3)
+
+
+def test_gcn_fused_gradients_padded_channel():
+    """C=64 routes through the zero-padded contraction; T=50 is not a
+    multiple of the time tile."""
+    x, a1, w = _inputs(b=2, t=50, c=64, co=64)
+    ln = lambda f: (lambda *a: jnp.sum(f(*a) ** 2))
+    gp = jax.grad(ln(lambda x, a1, w: adaptive_gcn_pallas(x, a1, w, True)),
+                  argnums=(0, 1, 2))(x, a1, w)
+    gr = jax.grad(ln(reference_fused_gcn), argnums=(0, 1, 2))(x, a1, w)
+    for name, a, b in zip("x a1 w".split(), gp, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-2, rtol=1e-2, err_msg=name)
