@@ -125,8 +125,13 @@ class UnitGCN(nn.Module):
                                self.edge_mesh) + out_b
         else:
             # training: 'agg' fuses best in the full step; inference:
-            # project-first forward is 2.6x faster (ops/gcn.apply_gcn)
-            form = self.formulation if train else "pf"
+            # project-first forward is 2.6x faster among the XLA forms
+            # (ops/gcn.apply_gcn), while the pallas formulations keep
+            # their fused forward kernel at eval too
+            if train or self.formulation.startswith("pallas"):
+                form = self.formulation
+            else:
+                form = "pf"
             w_stack = jnp.stack(k_d)  # (K, C, Co)
             if self.dtype is not None:
                 w_stack = w_stack.astype(self.dtype)

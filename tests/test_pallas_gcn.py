@@ -160,6 +160,24 @@ def test_apply_gcn_pallas_dispatch_and_small_c_fallback(form):
         atol=2e-3, rtol=2e-3)
 
 
+def test_agcn_eval_pallas_formulation_matches_default():
+    """At eval the pallas formulations keep the fused forward (the XLA
+    forms switch to 'pf'); same params must give the same logits."""
+    from agcn_tpu.graph import build_adjacency
+    from agcn_tpu.models import AGCN
+
+    adj = build_adjacency("ntu_rgb_d")
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((2, 3, 16, 25, 2)), jnp.float32)
+    ref_model = AGCN(num_class=7, adj=adj)
+    variables = ref_model.init(jax.random.PRNGKey(0), x, train=False)
+    want = ref_model.apply(variables, x, train=False)[0]
+    got = AGCN(num_class=7, adj=adj, formulation="pallas_hybrid").apply(
+        variables, x, train=False)[0]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=5e-4, rtol=5e-4)
+
+
 def test_gcn_fused_gradients_padded_channel():
     """C=64 routes through the zero-padded contraction; T=50 is not a
     multiple of the time tile."""
