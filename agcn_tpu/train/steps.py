@@ -108,6 +108,37 @@ def make_train_step(loss_fn: Callable,
     return train_step
 
 
+def make_multi_train_step(loss_fn: Callable, steps_per_call: int,
+                          **step_kwargs):
+    """K optimizer steps in ONE jitted program via `lax.scan`.
+
+    The reference (and our single-step path) dispatches one XLA program
+    per optimizer step; on fast models (SGN: ~2 ms compute) the ~1.4 ms
+    host-dispatch floor dominates. Scanning K steps amortizes dispatch
+    to 1/K per step with EXACTLY sequential semantics: the train step
+    derives its per-step RNG as fold_in(rng, state.step), so passing
+    the same key to every scanned iteration reproduces the sequential
+    loop bit for bit (same grads, same BN-stat updates, same optimizer
+    chain).
+
+    Returns step(state, xs, ys, rng) -> (state, stacked_metrics) where
+    xs/ys carry a leading (steps_per_call,) axis and every metric in
+    stacked_metrics has one too (per-step values, so logging cadence is
+    preserved by the caller).
+    """
+    step = make_train_step(loss_fn, **step_kwargs)
+
+    def multi_step(state: TrainState, xs, ys, rng):
+        def body(st, batch):
+            x, y = batch
+            return step(st, x, y, rng)
+
+        return jax.lax.scan(body, state, (xs, ys),
+                            length=steps_per_call)
+
+    return multi_step
+
+
 def make_eval_step(loss_fn: Optional[Callable] = None,
                    multi_crop: int = 1,
                    aux_loss_fn: Optional[Callable] = None):

@@ -27,7 +27,8 @@ from agcn_tpu.parallel import (jit_data_parallel, make_mesh, replicate_state,
                                shard_batch)
 from agcn_tpu.train import losses as L
 from agcn_tpu.train import optim as O
-from agcn_tpu.train.steps import TrainState, make_eval_step, make_train_step
+from agcn_tpu.train.steps import (TrainState, make_eval_step,
+                                  make_multi_train_step, make_train_step)
 from agcn_tpu.utils.config import Config, save_config
 
 
@@ -491,6 +492,25 @@ class Trainer:
         # (reference processor.py:612-630)
         self._train_step_frozen = compile_step(frozen_step) \
             if cfg.only_train_part else self._train_step
+        # K optimizer steps per XLA dispatch (steps.make_multi_train_step;
+        # exactly sequential semantics). Single-shard only: the sharded
+        # path's batch-axis annotations assume a leading batch dim.
+        self._steps_per_call = max(1, int(getattr(cfg, "steps_per_call",
+                                                  1) or 1))
+        if self._steps_per_call > 1 and self.n_data_shards > 1:
+            self.print_log("steps_per_call > 1 requires a single data "
+                           "shard; falling back to 1")
+            self._steps_per_call = 1
+        if self._steps_per_call > 1:
+            spc = self._steps_per_call
+            mk = lambda **kw: make_multi_train_step(
+                loss_fn, spc, sam_rho=sam_rho, aux_loss_fn=aux_loss_fn,
+                **kw)
+            self._train_step_multi = jax.jit(mk(), donate_argnums=(0,))
+            self._train_step_multi_frozen = jax.jit(
+                mk(grad_transform=lambda g: _tree_zero_by_name(g, "PA")),
+                donate_argnums=(0,)) if cfg.only_train_part \
+                else self._train_step_multi
         crops = getattr(self, "multi_test", 1)
         self._eval_aux = aux_loss_fn
         eval_step = make_eval_step(loss_fn, multi_crop=crops,
@@ -551,6 +571,11 @@ class Trainer:
         # processor.py:189-197)
         profile_steps = range(2, 8) if (cfg.profiler and epoch
                                         == cfg.start_epoch) else range(0)
+        if self._steps_per_call > 1 and not profile_steps:
+            # K steps per dispatch (lax.scan; exactly sequential
+            # semantics). The profiled epoch keeps the per-step loop so
+            # trace windows align with dispatch boundaries.
+            return self._train_epoch_scanned(epoch, loader, epoch_rng, t0)
         for i, (x, y, idx) in enumerate(loader):
             if i == (profile_steps.start if profile_steps else -1):
                 jax.profiler.start_trace(
@@ -598,6 +623,79 @@ class Trainer:
             else {}
         self.log_metrics(kind="train", epoch=epoch, seconds=dt,
                          seq_per_sec=seen / max(dt, 1e-9), **m)
+        if self.train_writer is not None:
+            self.train_writer.add_scalar("train/epoch", epoch,
+                                         int(self.state.step))
+            self.train_writer.flush()
+        self.print_log(
+            f"epoch {epoch} done in {dt:.1f}s "
+            f"({seen / max(dt, 1e-9):.1f} seq/s)")
+
+    def _train_epoch_scanned(self, epoch: int, loader, epoch_rng, t0):
+        """Epoch loop at steps_per_call granularity: K loader batches are
+        stacked on the host and consumed by ONE scanned XLA program
+        (steps.make_multi_train_step); a short remainder runs through the
+        single-step program. Per-step logging cadence is preserved from
+        the stacked per-step metrics."""
+        cfg = self.cfg
+        spc = self._steps_per_call
+        frozen = cfg.only_train_part and epoch <= cfg.only_train_epoch
+        multi_fn = (self._train_step_multi_frozen if frozen
+                    else self._train_step_multi)
+        single_fn = (self._train_step_frozen if frozen
+                     else self._train_step)
+        n_steps = len(loader)
+        seen = 0
+        gi = 0  # per-step index within the epoch (logging cadence)
+        last_metrics: Dict[str, float] = {}
+
+        def log_step(m: Dict[str, float], step_no: int):
+            lr = float(self.schedule(step_no))
+            self.print_log(
+                f"epoch {epoch} step {gi}/{n_steps} "
+                f"loss {m['loss']:.4f} acc {m['acc']:.3f} lr {lr:.5f}")
+            if self.train_writer is not None:
+                self.train_writer.add_scalar("train/loss", m["loss"],
+                                             step_no)
+                self.train_writer.add_scalar("train/acc", m["acc"],
+                                             step_no)
+                self.train_writer.add_scalar("train/lr", lr, step_no)
+
+        buf_x, buf_y = [], []
+        for x, y, _ in loader:
+            buf_x.append(np.asarray(x))
+            buf_y.append(np.asarray(y))
+            seen += len(y)
+            if len(buf_x) < spc:
+                continue
+            xs = jnp.asarray(np.stack(buf_x))
+            ys = jnp.asarray(np.stack(buf_y))
+            buf_x, buf_y = [], []
+            self.state, ms = multi_fn(self.state, xs, ys, epoch_rng)
+            final_step = int(self.state.step)
+            rows = None
+            for j in range(spc):
+                gi += 1
+                if gi % cfg.log_interval == 0:
+                    if rows is None:  # one host fetch per group, lazily
+                        rows = {k: np.asarray(v) for k, v in ms.items()}
+                    log_step({k: float(v[j]) for k, v in rows.items()},
+                             final_step - (spc - 1 - j))
+            last_metrics = ms  # device arrays; fetched at epoch end
+        for x, y in zip(buf_x, buf_y):  # remainder < spc
+            self.state, m = single_fn(self.state, jnp.asarray(x),
+                                      jnp.asarray(y), epoch_rng)
+            gi += 1
+            last_metrics = m
+            if gi % cfg.log_interval == 0:
+                log_step({k: float(v) for k, v in m.items()},
+                         int(self.state.step))
+
+        dt = time.time() - t0
+        last = {k: float(np.asarray(v).reshape(-1)[-1])
+                for k, v in last_metrics.items()}
+        self.log_metrics(kind="train", epoch=epoch, seconds=dt,
+                         seq_per_sec=seen / max(dt, 1e-9), **last)
         if self.train_writer is not None:
             self.train_writer.add_scalar("train/epoch", epoch,
                                          int(self.state.step))
