@@ -134,10 +134,28 @@ def build_model(name: str, model_args: Dict[str, Any],
         # norm/act are fixed bn+relu (the only shipped values);
         # dropout2d only reaches bert-style (mode>=100) embeddings, which
         # no v15 recipe uses; semantic_frame_fusion is marked UNUSED in
-        # the reference itself (sgn_v15.py:130)
-        for k in ("norm_type", "act_type", "dropout2d",
-                  "semantic_frame_fusion"):
-            args.pop(k, None)
+        # the reference itself (sgn_v15.py:130). Dropping a NON-default
+        # value would silently build a different model — fail fast.
+        fixed = {"norm_type": ("bn",), "act_type": ("relu",),
+                 "semantic_frame_fusion": None}
+        for k, allowed in fixed.items():
+            if k in args:
+                val = args.pop(k)
+                if allowed is not None and val not in allowed:
+                    raise ValueError(
+                        f"sgn_transformer: {k}={val!r} is not supported "
+                        f"(only {allowed} — see registry.py)")
+        d2d = args.pop("dropout2d", 0.0)
+        if d2d and any(int(args.get(k, 0) or 0) >= 100 for k in
+                       ("input_position", "input_velocity",
+                        "semantic_joint", "semantic_frame",
+                        "semantic_class")):
+            # dropout2d only reaches bert-style (mode >= 100) embeddings
+            # upstream; with one in play dropping it would silently
+            # change the model
+            raise ValueError(
+                "sgn_transformer: dropout2d with a bert-style (>=100) "
+                "embedding mode is not supported — see registry.py")
         return SGNTransformer(**args)
     if key == "sgn":
         args = dict(model_args)

@@ -73,9 +73,12 @@ class SGNTransformer(nn.Module):
 
         smha = dict(self.spatial_mha or {})
         tmha = dict(self.temporal_mha or {})
-        # reference branch point (sgn_v15.py:444): 'norm' in the kwargs
-        # selects the lucidrains CrossViT transformer
-        lucid = "norm" in smha or "norm" in tmha
+        # reference branch point (sgn_v15.py:441-446): 'norm' in the
+        # kwargs selects the lucidrains CrossViT transformer — decided
+        # PER ENCODER (SpatialMHA and TemporalMHA each branch on their
+        # own kwargs), so a mixed config is legal upstream
+        s_lucid = "norm" in smha
+        t_lucid = "norm" in tmha
 
         # Dynamic representation (blocks/feature_extractor.py:74-103) ----
         dif = x[:, 1:] - x[:, :-1]
@@ -118,8 +121,16 @@ class SGNTransformer(nn.Module):
         # the running width so location-0 addition stays shape-valid
         tem_emb = None
         if self.semantic_frame > 0:
-            tem_out_ch = c3 if lucid else (
-                d_model if self.semantic_frame_location == 1 else d_model)
+            # size the embedding to the width of the tensor it is added
+            # to: pre-spatial (location 1) that is d_model; post-spatial
+            # (location 0) it is the spatial encoder's output — c3 for
+            # the lucid stack (per-layer d_out), d_model for the generic
+            # width-preserving encoder. (The reference uses c3
+            # unconditionally, sgn_v15.py:186-188 — equal to these on
+            # every config that is runnable upstream.)
+            tem_out_ch = c3 if (s_lucid and
+                                self.semantic_frame_location == 0) \
+                else d_model
             frame_tab = jnp.broadcast_to(
                 jnp.eye(t)[None, :, None, :], (1, t, v, t))
             tem_emb = SGNEmbedding(tem_out_ch, mode=self.semantic_frame,
@@ -131,7 +142,7 @@ class SGNTransformer(nn.Module):
         # Spatial transformer over joints, frames folded into batch
         # (sgn_v15.py:487-495)
         y = feat.reshape(b * t, v, d_model)
-        if lucid:
+        if s_lucid:
             y, spa_attn = LucidTransformer.from_mha_kwargs(
                 smha, name="spatial_mha")(y, train)
         else:
@@ -154,7 +165,7 @@ class SGNTransformer(nn.Module):
             feat = feat.reshape(b, t, -1)
 
         # Temporal transformer over frames (sgn_v15.py:502-510)
-        if lucid:
+        if t_lucid:
             y, tem_attn = LucidTransformer.from_mha_kwargs(
                 tmha, name="temporal_mha")(feat, train)
         else:
@@ -174,7 +185,7 @@ class SGNTransformer(nn.Module):
             y = y.reshape(b, -1)
 
         if self.semantic_class > 0:
-            cls_emb = SGNEmbedding(c4 if lucid else y.shape[-1],
+            cls_emb = SGNEmbedding(c4 if t_lucid else y.shape[-1],
                                    mode=self.semantic_class,
                                    use_bias=self.use_bias,
                                    name="class_embed")(

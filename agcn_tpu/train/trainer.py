@@ -647,6 +647,7 @@ class Trainer:
         n_steps = len(loader)
         seen = 0
         gi = 0  # per-step index within the epoch (logging cadence)
+        step0 = int(self.state.step)  # one sync, before the loop
         last_metrics: Dict[str, float] = {}
 
         def log_step(m: Dict[str, float], step_no: int):
@@ -671,16 +672,19 @@ class Trainer:
             xs = jnp.asarray(np.stack(buf_x))
             ys = jnp.asarray(np.stack(buf_y))
             buf_x, buf_y = [], []
+            base_step = int(step0) + gi  # host-side: step0 + steps done
             self.state, ms = multi_fn(self.state, xs, ys, epoch_rng)
-            final_step = int(self.state.step)
             rows = None
             for j in range(spc):
                 gi += 1
                 if gi % cfg.log_interval == 0:
-                    if rows is None:  # one host fetch per group, lazily
+                    # the only device sync in the loop, and only on
+                    # logged steps — host batch-stacking stays
+                    # overlapped with device compute otherwise
+                    if rows is None:
                         rows = {k: np.asarray(v) for k, v in ms.items()}
                     log_step({k: float(v[j]) for k, v in rows.items()},
-                             final_step - (spc - 1 - j))
+                             base_step + j + 1)
             last_metrics = ms  # device arrays; fetched at epoch end
         for x, y in zip(buf_x, buf_y):  # remainder < spc
             self.state, m = single_fn(self.state, jnp.asarray(x),

@@ -77,6 +77,14 @@ def main(argv=None):
             if isinstance(node, dict):
                 return None
             if idx is not None:
+                if isinstance(idx, slice) and (
+                        not isinstance(node, list)
+                        or idx.stop > len(node)):
+                    # a short slice would silently collapse distinct
+                    # configs into one heatmap key — fail loudly
+                    raise ValueError(
+                        f"key {dotted!r}: [{idx.start}:{idx.stop}] is "
+                        f"out of range for value {node!r}")
                 try:
                     node = node[idx]
                 except (TypeError, IndexError):

@@ -27,6 +27,33 @@ def test_sgn_transformer_forward_and_train():
     assert np.all(np.isfinite(np.asarray(out2)))
 
 
+def test_sgn_transformer_mixed_encoders():
+    """The reference branches PER ENCODER on 'norm' in the mha kwargs
+    (sgn_v15.py:441-446): lucid spatial + torch-style temporal is a
+    legal config and must build both backend kinds."""
+    m = SGNTransformer(
+        num_class=7,
+        spatial_mha={"d_model": [128], "nhead": [1],
+                     "dim_feedforward": [512], "dropout": 0.1,
+                     "activation": "relu", "num_layers": 1,
+                     "d_head": [512], "dim_feedforward_output": [256],
+                     "norm": "bn", "global_norm": False},
+        temporal_mha={"num_layers": 2, "nhead": 4})
+    x = jnp.asarray(np.random.default_rng(1).standard_normal(
+        (2, 20, 75)).astype(np.float32))
+    v = m.init(jax.random.PRNGKey(0), x, train=False)
+    out, aux = m.apply(v, x, train=False)
+    assert out.shape == (2, 7)
+    names = set(v["params"]["spatial_mha"]) | set(
+        v["params"]["temporal_mha"])
+    # lucid spatial carries per-layer attend blocks; generic temporal
+    # carries encoder-layer submodules
+    assert any("layer" in n or "attend" in n or "blocks" in n
+               for n in v["params"]["spatial_mha"])
+    assert set(v["params"]["spatial_mha"]) != set(
+        v["params"]["temporal_mha"]), names
+
+
 @pytest.mark.parametrize("mode", ["temporal", "spatial", "dual"])
 def test_aagcn_transformer_modes(mode):
     adj = build_adjacency("ntu_rgb_d")
