@@ -46,10 +46,10 @@ def test_sgn_transformer_mixed_encoders():
     assert out.shape == (2, 7)
     names = set(v["params"]["spatial_mha"]) | set(
         v["params"]["temporal_mha"])
-    # lucid spatial carries per-layer attend blocks; generic temporal
-    # carries encoder-layer submodules
-    assert any("layer" in n or "attend" in n or "blocks" in n
-               for n in v["params"]["spatial_mha"])
+    # lucid spatial carries per-layer attn/ffn blocks (l1_attn, l1_ffn, ...);
+    # generic temporal carries encoder-layer submodules (layer1, layer2, ...)
+    assert any(n.endswith("_attn") or n.endswith("_ffn")
+               for n in v["params"]["spatial_mha"]), names
     assert set(v["params"]["spatial_mha"]) != set(
         v["params"]["temporal_mha"]), names
 
