@@ -147,3 +147,154 @@ def test_sgn_original_export_strict_load_and_matches(monkeypatch):
     ours, _ = model.apply(variables, x, train=False)
     np.testing.assert_allclose(np.asarray(ours), ref_logits,
                                atol=2e-4, rtol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# SGN (v11-v14 space) + SGN v15 export (VERDICT r4 next #3): round-trip
+# export(import(sd)) == sd for every transplant-parity config, plus
+# strict-load logits parity starting from OUR random init.
+
+SGN_EXPORT_OVERRIDES = [
+    dict(),                     # shipped train_sgn_v14.yaml (gt_mode 1)
+    dict(sgcn_gt_mode=0),
+    dict(multi_t=[[], [], [3, 5, 7]]),
+    dict(sgcn_g_proj_dim=[256, 256, 256]),
+    dict(multi_t=[[3], [3], [3]], multi_t_shared=2),
+    dict(sgcn_gt_mode=2),
+    dict(sgcn_gt_mode=3),
+    dict(sgcn_gt_mode=4, sgcn_gt_act=2),
+    dict(sgcn_gt_mode=5),
+    dict(sgcn_gt_mode=5, sgcn_gt_g3_idx=3),
+    dict(sgcn_gt_mode=6, multi_t=[[], [], [3], [3]]),
+    dict(sgcn_g_res_alpha=-1, sgcn_gt_mode=4, sgcn_gt_act=2,
+         multi_t=[[], [], [3, 5, 7]]),
+    dict(sgcn_kernel=3, sgcn_padding=1, sgcn_g_kernel=3),
+    dict(sgcn_v_kernel=3),
+    dict(sgcn_prenorm=True),
+    dict(sgcn_ffn=104.0),       # post-norm conv FFN
+    dict(sgcn_ffn=204.0),       # "Linear" FFN == 1x1 conv pre-norm
+    dict(sgcn_ffn=304.0),       # "Linear" FFN post-norm
+]
+
+
+@pytest.mark.skipif(not reference_available(), reason="reference not mounted")
+@pytest.mark.parametrize("overrides", SGN_EXPORT_OVERRIDES)
+def test_sgn_export_roundtrip(overrides):
+    """export(import(reference sd)) reproduces the reference state_dict
+    key-for-key, value-exact (the mapping is a pure layout permutation)."""
+    from agcn_tpu.utils.torch_export import sgn_state_dict_from_variables
+    from agcn_tpu.utils.torch_import import (sgn_variables_from_torch,
+                                             state_dict_to_numpy)
+
+    from .test_sgn import _torch_sgn
+
+    ref = _torch_sgn(**overrides)
+    sd = state_dict_to_numpy(ref.state_dict())
+    variables = sgn_variables_from_torch(sd)
+    linear_ffn = overrides.get("sgcn_ffn", 0) >= 200
+    back = sgn_state_dict_from_variables(variables, linear_ffn=linear_ffn)
+    assert set(back) == set(sd), (
+        f"missing={sorted(set(sd) - set(back))[:8]} "
+        f"extra={sorted(set(back) - set(sd))[:8]}")
+    for k in sd:
+        if k.endswith("num_batches_tracked"):
+            continue
+        np.testing.assert_array_equal(
+            back[k], np.asarray(sd[k], np.float32), err_msg=k)
+
+
+@pytest.mark.skipif(not reference_available(), reason="reference not mounted")
+@pytest.mark.parametrize("overrides", [
+    dict(),
+    dict(sgcn_g_res_alpha=-1, sgcn_gt_mode=4, sgcn_gt_act=2,
+         multi_t=[[], [], [3, 5, 7]]),   # ledger-best v13_gt4 recipe shape
+])
+def test_sgn_export_strict_load_and_matches(overrides):
+    """Reference sgn_v14 strict-loads OUR randomly-initialized checkpoint
+    and reproduces our logits."""
+    import torch
+
+    from .test_sgn import V14_KWARGS, _ours_from, seg_inputs
+
+    from agcn_tpu.utils.torch_export import sgn_state_dict_from_variables
+
+    add_reference_to_path()
+    from model.architecture.sgn.sgn_v14 import SGN as TorchSGN
+
+    kwargs = {**V14_KWARGS, **overrides}
+    model = _ours_from(kwargs)
+    x_np = seg_inputs(seed=11)
+    x = jnp.asarray(x_np)
+    variables = model.init(jax.random.PRNGKey(3), x, train=False)
+    _, updates = model.apply(variables, x, train=True,
+                             mutable=["batch_stats"],
+                             rngs={"dropout": jax.random.PRNGKey(4)})
+    variables = {"params": variables["params"],
+                 "batch_stats": updates["batch_stats"]}
+    sd = {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in
+          sgn_state_dict_from_variables(variables).items()}
+    torch.manual_seed(0)
+    ref = TorchSGN(**kwargs)
+    missing, unexpected = ref.load_state_dict(sd, strict=True)
+    assert not missing and not unexpected
+    ref.eval()
+    with torch.no_grad():
+        ref_logits = ref(torch.from_numpy(x_np))[0].numpy()
+    ours, _ = model.apply(variables, x, train=False)
+    np.testing.assert_allclose(np.asarray(ours), ref_logits,
+                               atol=3e-4, rtol=3e-4)
+
+
+@pytest.mark.skipif(not reference_available(), reason="reference not mounted")
+@pytest.mark.parametrize("which", ["shipped", "qkv_dout"])
+def test_sgn_transformer_export_roundtrip_and_strict_load(which):
+    """v15: round-trip through the reference key space AND reference
+    strict-load logits parity from OUR init (shipped recipe + the
+    qkv/d_out mode from the reference __main__)."""
+    import torch
+
+    from agcn_tpu.models.registry import build_model
+    from agcn_tpu.utils.torch_export import (
+        sgn_transformer_state_dict_from_variables)
+    from agcn_tpu.utils.torch_import import (
+        sgn_transformer_variables_from_torch, state_dict_to_numpy)
+
+    from .test_transformer_models import V15_QKV, V15_SHIPPED
+
+    add_reference_to_path()
+    from model.architecture.sgn.sgn_v15 import SGN as TorchSGNv15
+
+    kwargs = V15_SHIPPED if which == "shipped" else V15_QKV
+    torch.manual_seed(0)
+    ref = TorchSGNv15(**kwargs).eval()
+    sd = state_dict_to_numpy(ref.state_dict())
+    back = sgn_transformer_state_dict_from_variables(
+        sgn_transformer_variables_from_torch(sd))
+    assert set(back) == set(sd), (
+        f"missing={sorted(set(sd) - set(back))[:8]} "
+        f"extra={sorted(set(back) - set(sd))[:8]}")
+    for k in sd:
+        if k.endswith("num_batches_tracked"):
+            continue
+        np.testing.assert_array_equal(
+            back[k], np.asarray(sd[k], np.float32), err_msg=k)
+
+    # strict-load logits parity from OUR random init
+    model = build_model("sgn_transformer", kwargs)
+    x_np = np.random.default_rng(7).standard_normal(
+        (4, 20, 75)).astype(np.float32)
+    x = jnp.asarray(x_np)
+    variables = model.init(jax.random.PRNGKey(5), x, train=False)
+    _, updates = model.apply(variables, x, train=True,
+                             mutable=["batch_stats"],
+                             rngs={"dropout": jax.random.PRNGKey(6)})
+    variables = {"params": variables["params"],
+                 "batch_stats": updates["batch_stats"]}
+    sd2 = {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in
+           sgn_transformer_state_dict_from_variables(variables).items()}
+    missing, unexpected = ref.load_state_dict(sd2, strict=True)
+    assert not missing and not unexpected
+    with torch.no_grad():
+        ref_logits = ref(torch.from_numpy(x_np))[0].numpy()
+    ours, _ = model.apply(variables, x, train=False)
+    np.testing.assert_allclose(np.asarray(ours), ref_logits, atol=1e-3)
