@@ -77,7 +77,9 @@ class BatchedStreamServer:
         self._next_id = 0
         self._pad_row: Optional[np.ndarray] = None
         self._pool = None  # lazy thread pool for host preprocessing
+        self._pending = None  # in-flight (sids, per, out) for async mode
         self.last_latency_ms = 0.0
+        self.last_prep_ms = 0.0
 
     # -- stream lifecycle --------------------------------------------
 
@@ -118,13 +120,13 @@ class BatchedStreamServer:
                                 rng=self._rngs[sid])
         return pp.dense_input(self.num_skels, normalize=self.normalize)
 
-    def predict(self) -> Dict[int, Tuple[int, np.ndarray]]:
-        """One batched forward over all live streams ->
-        {stream_id: (label, probabilities)}."""
+    def _prepare(self):
+        """Host phase: per-stream preprocessing + static-shape padding.
+        Returns (sids, per, device_input) or None when no streams."""
         t0 = time.perf_counter()
         sids = sorted(self._streams)
         if not sids:
-            return {}
+            return None
         # host preprocessing is ~2.7 ms/stream (pre_normalization's
         # Rodrigues alignments) — at 64 streams that rivals the device
         # forward, so fan it out over threads (numpy releases the GIL;
@@ -146,7 +148,13 @@ class BatchedStreamServer:
         pads = self.max_streams - len(sids)
         if pads:
             x = np.concatenate([x] + [self._pad_row] * pads, axis=0)
-        out = self._forward(self.variables, jnp.asarray(x))
+        x = jnp.asarray(x)
+        self.last_prep_ms = (time.perf_counter() - t0) * 1e3
+        return sids, per, x
+
+    def _finalize(self, sids, per, out
+                  ) -> Dict[int, Tuple[int, np.ndarray]]:
+        """Host phase: materialize device logits -> per-stream answers."""
         logits = np.asarray(out[0] if isinstance(out, tuple) else out)
         logits = logits[: len(sids) * per]
         if per > 1:  # multi-crop averaging (reference processor.py:546-548)
@@ -157,5 +165,43 @@ class BatchedStreamServer:
             probs = np.exp(li - li.max())
             probs = probs / probs.sum()
             results[sid] = (int(probs.argmax()), probs)
+        return results
+
+    def predict(self) -> Dict[int, Tuple[int, np.ndarray]]:
+        """One batched forward over all live streams ->
+        {stream_id: (label, probabilities)}."""
+        t0 = time.perf_counter()
+        prepped = self._prepare()
+        if prepped is None:
+            return {}
+        sids, per, x = prepped
+        results = self._finalize(sids, per,
+                                 self._forward(self.variables, x))
         self.last_latency_ms = (time.perf_counter() - t0) * 1e3
         return results
+
+    def predict_async(self) -> Optional[Dict[int, Tuple[int, np.ndarray]]]:
+        """Pipelined tick: prep + DISPATCH this tick, return the
+        PREVIOUS tick's results (None before the first completes).
+
+        jax dispatch is asynchronous, so the device computes tick t
+        while the caller appends frames and this method preps tick t+1
+        on the host — the two phases that otherwise serialize in
+        predict(). Same per-tick answers as predict(), shifted by one
+        tick of latency; call flush() to drain the last tick. Streams
+        may be added/removed between ticks (each tick's results carry
+        its own stream ids)."""
+        t0 = time.perf_counter()
+        prepped = self._prepare()
+        pending, self._pending = self._pending, None
+        if prepped is not None:
+            sids, per, x = prepped
+            self._pending = (sids, per, self._forward(self.variables, x))
+        results = self._finalize(*pending) if pending else None
+        self.last_latency_ms = (time.perf_counter() - t0) * 1e3
+        return results
+
+    def flush(self) -> Optional[Dict[int, Tuple[int, np.ndarray]]]:
+        """Drain the in-flight pipelined tick (predict_async)."""
+        pending, self._pending = self._pending, None
+        return self._finalize(*pending) if pending else None

@@ -153,6 +153,45 @@ def bench_aagcn(steps: int = 15, repeats: int = 5):
     return _median_rate(window, BATCH * steps, repeats)
 
 
+def bench_kinetics(steps: int = 15, repeats: int = 5):
+    """Kinetics-Skeleton AGCN train step (BASELINE config #5 shape:
+    V=18 openpose graph, 400 classes, window T=150, reference
+    config/kinetics-skeleton/train_joint.yaml) at batch 64, bf16 —
+    tracks the V=18 padding geometry's single-chip perf
+    (VERDICT r4 next #7)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from agcn_tpu.graph import build_adjacency
+    from agcn_tpu.models import AGCN
+    from agcn_tpu.train import TrainState, losses, make_train_step, optim
+
+    adj = build_adjacency("kinetics")
+    model = AGCN(num_class=400, adj=adj, num_point=18,
+                 dtype=jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((BATCH, C, 150, 18, M)),
+                    jnp.float32)
+    y = jnp.asarray(rng.integers(0, 400, (BATCH,)))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    tx = optim.sgd_nesterov(optim.warmup_step_schedule(0.1, 1, [45, 55]))
+    state = TrainState.create(model.apply, variables["params"],
+                              variables["batch_stats"], tx)
+    step = jax.jit(make_train_step(losses.cross_entropy), donate_argnums=0)
+    key = jax.random.PRNGKey(0)
+    holder = {"state": state}
+
+    def window():
+        s = holder["state"]
+        for _ in range(steps):
+            s, m = step(s, x, y, key)
+        _ = float(m["loss"])
+        holder["state"] = s
+
+    return _median_rate(window, BATCH * steps, repeats)
+
+
 def bench_sgn(steps: int = 200, repeats: int = 5,
               steps_per_call: int = 1):
     """SGN (v14 defaults, seg=20) train step with Adam, batch 64.
@@ -234,11 +273,15 @@ def bench_infer(steps: int = 10, repeats: int = 5, batch: int = 256):
     return _median_rate(window, batch * steps, repeats)
 
 
-def bench_serving(n_streams: int = 16, ticks: int = 20, repeats: int = 5):
+def bench_serving(n_streams: int = 16, ticks: int = 50, repeats: int = 5,
+                  pipeline: bool = True, normalize: bool = False):
     """Serving-engine tick rate: N live streams answered by ONE batched
     fixed-shape forward per tick (infer/serving.py), end-to-end with
-    host-side ring-buffer preprocessing — the product-level serving
-    figure (VERDICT r3 next #5). Units: stream-predictions/s."""
+    host-side ring-buffer preprocessing and one new frame per stream per
+    tick (a live workload). pipeline=True uses the double-buffered
+    predict_async path (host prep of tick t+1 overlaps device compute of
+    tick t) — the product's recommended serving mode.
+    Units: stream-predictions/s."""
     import jax
     import numpy as np
 
@@ -253,21 +296,30 @@ def bench_serving(n_streams: int = 16, ticks: int = 20, repeats: int = 5):
     variables = model.init(jax.random.PRNGKey(0), x0, train=False)
     server = BatchedStreamServer(model, variables, max_streams=n_streams,
                                  kind="dense", max_seq_length=t_ring,
-                                 normalize=False)
+                                 normalize=normalize)
     rng = np.random.default_rng(0)
-    for _ in range(n_streams):
+    frame = rng.standard_normal(
+        (n_streams, t_ring + 1, 1, 1, 25, 3)).astype(np.float32) * 0.2
+    for s in range(n_streams):
         sid = server.add_stream()
-        for _ in range(t_ring):
-            server.append_frame(
-                sid, rng.standard_normal((1, 1, 25, 3)).astype(
-                    np.float32) * 0.2)
+        for t in range(t_ring):
+            server.append_frame(sid, frame[s, t])
     server.predict()  # warmup/compile
 
     def window():
-        for _ in range(ticks):
-            server.predict()
+        if pipeline:
+            for _ in range(ticks):
+                for s in range(n_streams):
+                    server.append_frame(s, frame[s, t_ring])
+                server.predict_async()
+            server.flush()
+        else:
+            for _ in range(ticks):
+                for s in range(n_streams):
+                    server.append_frame(s, frame[s, t_ring])
+                server.predict()
 
-    return _median_rate(window, n_streams * ticks, repeats)
+    return _median_rate(window, n_streams * ticks, repeats, warmup=2)
 
 
 def bench_torch_baseline(steps: int = 2) -> float:
@@ -356,6 +408,8 @@ def main():
             ("sgn_scan8_seq_per_sec",
              lambda **kw: bench_sgn(steps_per_call=8, **kw),
              dict(steps=16, repeats=2)),
+            ("kinetics_seq_per_sec", bench_kinetics,
+             dict(steps=3, repeats=2)),
             ("agcn_infer_seq_per_sec", bench_infer,
              dict(steps=2, repeats=2, batch=64)),
             ("serving_preds_per_sec", bench_serving,

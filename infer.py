@@ -135,12 +135,15 @@ def _serve(args, model, variables, kind, num_joint, multi_test, cfg,
     seen = set()
     backlog = []
 
+    tag_by_sid = {}
+
     def attach(f):
         sid = server.add_stream()
         tag = os.path.splitext(os.path.basename(f))[0]
         if tag in tags:  # cam0.npy + cam0.skeleton must not clobber
             tag = f"{tag}_{sid}"
         tags.add(tag)
+        tag_by_sid[sid] = tag
         streams[sid] = (tag, load_frames(f, num_joint))
         print(f"++ stream [{tag}]", flush=True)
 
@@ -170,6 +173,25 @@ def _serve(args, model, variables, kind, num_joint, multi_test, cfg,
     step = 0
     idle = 0.0
     poll_s = 0.5
+    pending_step = 0
+
+    def emit(results, at_step):
+        for sid, (label, probs) in sorted(results.items()):
+            tag = tag_by_sid.get(sid, str(sid))
+            name = labels[label] if labels and label < len(labels) \
+                else str(label)
+            print(f"[{tag}] frame {at_step}: "
+                  f"class {name} p={probs[label]:.3f}", flush=True)
+            if args.out_folder:
+                if sid not in out_files:
+                    out_files[sid] = open(os.path.join(
+                        args.out_folder, f"results_{tag}.txt"), "w")
+                out_files[sid].write(
+                    f"{at_step},{label},{probs[label]:.6f}\n")
+        if args.timing:
+            print(f"tick: {len(results)} streams in "
+                  f"{server.last_latency_ms:.1f} ms", flush=True)
+
     try:
         while True:
             done = []
@@ -215,24 +237,19 @@ def _serve(args, model, variables, kind, num_joint, multi_test, cfg,
             idle = 0.0
             step += 1
             if streams and step % args.interval == 0:
-                results = server.predict()
-                for sid, (label, probs) in sorted(results.items()):
-                    tag = streams[sid][0]
-                    name = labels[label] if labels and label < len(labels) \
-                        else str(label)
-                    line = (f"[{tag}] frame {step}: "
-                            f"class {name} p={probs[label]:.3f}")
-                    print(line, flush=True)
-                    if args.out_folder:
-                        if sid not in out_files:
-                            out_files[sid] = open(os.path.join(
-                                args.out_folder,
-                                f"results_{tag}.txt"), "w")
-                        out_files[sid].write(
-                            f"{step},{label},{probs[label]:.6f}\n")
-                if args.timing:
-                    print(f"tick: {len(results)} streams in "
-                          f"{server.last_latency_ms:.1f} ms", flush=True)
+                if args.pipeline:
+                    # double-buffered: this call answers the PREVIOUS
+                    # tick while the device computes this one
+                    results = server.predict_async()
+                    if results is not None:
+                        emit(results, pending_step)
+                    pending_step = step
+                else:
+                    emit(server.predict(), step)
+        if args.pipeline:
+            tail = server.flush()
+            if tail is not None:
+                emit(tail, pending_step)
     finally:
         for f in out_files.values():
             f.close()
@@ -279,6 +296,11 @@ def main(argv=None):
                    help="write per-frame predictions to <dir>/results.txt")
     p.add_argument("--device", type=str, default=None,
                    help="cpu|tpu|gpu: JAX platform override (like main.py)")
+    p.add_argument("--pipeline", action="store_true",
+                   help="with --serve: double-buffer host preprocessing "
+                        "against device compute (predict_async) — each "
+                        "tick prints the previous tick's answers, one "
+                        "tick of extra latency for ~overlapped prep")
     p.add_argument("--serve", type=int, default=0, metavar="N",
                    help="multi-stream mode: treat the files in --input "
                         "(a directory) as up to N concurrent streams, "

@@ -30,3 +30,28 @@ def test_scaling_artifact_schema(tmp_path):
     for s, ratio in ratios.items():
         assert ratio <= 1.6 / int(s), (s, ratio)
     assert artifact["flop_division_ok"] is True
+
+    # comm evidence (VERDICT r4 next #5): the compiler must schedule
+    # ZERO collective bytes at 1 shard, >0 at each multi-shard point,
+    # and the compute/comm ratio must fall monotonically with P (each
+    # doubling trades compute per device for communication)
+    rows = {r["shards"]: r for r in artifact["shards"]}
+    assert rows[1]["collective_bytes_per_step"] == 0
+    prev_ratio = None
+    for s in (2, 4, 8):
+        row = rows[s]
+        assert row["collective_bytes_per_step"] > 0, s
+        assert row["collective_breakdown"], s
+        assert row["flops_per_comm_byte"] > 0, s
+        if prev_ratio is not None:
+            assert row["flops_per_comm_byte"] <= prev_ratio * 1.05, (
+                s, row["flops_per_comm_byte"], prev_ratio)
+        prev_ratio = row["flops_per_comm_byte"]
+
+    # the hybrid (data=4, edge=2) FULL train step: gradient all-reduce
+    # over 'data' must be present alongside the edge-partition ring
+    hybrid = artifact["hybrid_train_step"]
+    assert hybrid is not None
+    assert hybrid["collective_bytes_per_step"] > 0
+    assert "all-reduce" in hybrid["collective_breakdown"]
+    assert hybrid["flops_per_comm_byte"] > 0

@@ -172,3 +172,42 @@ def test_sgn_recipe_dataloader_args_accepted():
         single.append_frame(f)
     label, probs = single.predict()
     assert probs.shape == (4,)
+
+
+def test_pipelined_matches_sync(agcn_model):
+    """predict_async() returns exactly predict()'s per-tick answers,
+    shifted by one tick (double-buffered host prep vs device compute);
+    flush() drains the final in-flight tick."""
+    model, variables = agcn_model
+    kwargs = dict(kind="dense", max_seq_length=32, moving_avg=2)
+    sync = BatchedStreamServer(model, variables, max_streams=3, **kwargs)
+    pipe = BatchedStreamServer(model, variables, max_streams=3, **kwargs)
+    assert pipe.predict_async() is None  # no streams -> nothing dispatched
+    assert pipe.flush() is None
+    for seed in (0, 1, 2):
+        sync.add_stream()
+        pipe.add_stream()
+    frames = {sid: _frames(sid, n_frames=40) for sid in range(3)}
+    want = []
+    # tick every 8 frames; the async engine lags by exactly one tick
+    got = []
+    for t in range(8, 41, 8):
+        for sid in range(3):
+            for f in frames[sid][t - 8:t]:
+                sync.append_frame(sid, f)
+                pipe.append_frame(sid, f)
+        want.append(sync.predict())
+        r = pipe.predict_async()
+        if r is not None:
+            got.append(r)
+    tail = pipe.flush()
+    assert tail is not None
+    got.append(tail)
+    assert pipe.flush() is None
+    assert len(got) == len(want)
+    for w, g in zip(want, got):
+        assert set(w) == set(g)
+        for sid in w:
+            assert g[sid][0] == w[sid][0]
+            np.testing.assert_allclose(g[sid][1], w[sid][1],
+                                       atol=1e-5, rtol=1e-5)

@@ -50,6 +50,13 @@ def _invalid_pair(a, va, b, vb):
         # without spatial pooling the other branches keep V=25 while the
         # map head is V=1 — the reference's tensor_list_mean crashes too
         return True
+    if d.get("gcn_fpn", -1) == 0 and d.get("t_mode", 1) == 0:
+        # fpn 0 means the per-level GCN features are averaged, but
+        # t_mode 0 skips the temporal MLPs that equalize the level
+        # widths — the reference crashes at the stack too
+        # (sgn_v14.py:997 tensor_list_mean, verified: RuntimeError
+        # "stack expects each tensor to be equal size")
+        return True
     return False
 
 
@@ -65,6 +72,8 @@ def _repair(cfg, rng):
         cfg["t_mode"] = 1
     if cfg["sgcn_gt_mode"] in (5, 6) and cfg["spatial_maxpool"] == 0:
         cfg["spatial_maxpool"] = 1
+    if cfg["gcn_fpn"] == 0 and cfg["t_mode"] == 0:
+        cfg["t_mode"] = 1
     return cfg
 
 
@@ -76,6 +85,8 @@ def _satisfies(cfg):
     if cfg["sgcn_gt_mode"] in (5, 6) and cfg["t_mode"] in (0, 3):
         return False
     if cfg["sgcn_gt_mode"] in (5, 6) and cfg["spatial_maxpool"] == 0:
+        return False
+    if cfg["gcn_fpn"] == 0 and cfg["t_mode"] == 0:
         return False
     return True
 
@@ -100,7 +111,11 @@ def build_covering(seed=11, candidates=40):
     rng = np.random.default_rng(seed)
     configs = []
     while uncovered:
-        seedpair = next(iter(uncovered))
+        # min-by-repr: set iteration order depends on PYTHONHASHSEED,
+        # which made CONFIGS differ between pytest processes (a failing
+        # config could vanish on re-run); repr gives a total, stable
+        # order over the mixed-type tuples
+        seedpair = min(uncovered, key=repr)
         best_cov, best_cfg = -1, None
         for _ in range(candidates):
             cfg = {k: AXES[k][rng.integers(len(AXES[k]))] for k in keys}

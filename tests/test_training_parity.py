@@ -265,3 +265,194 @@ def test_bf16_training_dynamics_tracks_fp32():
     np.testing.assert_allclose(bf16, fp32, rtol=0.08, atol=0.05)
     np.testing.assert_allclose(norms[1], norms[0], rtol=5e-3)
     assert abs(fp32[-1] - fp32[0]) > 1e-3  # actually moved
+
+
+# ---------------------------------------------------------------------------
+# Long-horizon training-dynamics parity (VERDICT r4 next #8): ~200 steps
+# with the production schedule geometry (warmup + step decay, weight
+# decay, momentum/Adam, clip) + an eval-accuracy trace on a held-out
+# synthetic split — the closest available proxy to the un-runnable
+# NTU-60 accuracy target (reference loop: utils/processor.py:604-778).
+
+LONG_STEPS = 200
+EVAL_EVERY = 50
+
+
+def _separable_batches(shape, n_held=32, seed=5, n_distinct=8):
+    """Cyclic train batches + a held-out eval split with a linear class
+    signal so accuracy is learnable (and chance is 1/NUM_CLASS)."""
+    rng = np.random.default_rng(seed)
+
+    def make(n):
+        x = rng.standard_normal((n,) + shape[1:]).astype(np.float32) * 0.5
+        y = rng.integers(0, NUM_CLASS, (n,))
+        sig = (np.arange(np.prod(shape[1:])).reshape(shape[1:])
+               % NUM_CLASS == 0).astype(np.float32)
+        for i in range(n):
+            x[i] += 0.3 * (y[i] + 1) / NUM_CLASS * sig
+        return x, y
+
+    train = [make(shape[0]) for _ in range(n_distinct)]
+    batches = [train[i % n_distinct] for i in range(LONG_STEPS)]
+    held_x, held_y = make(n_held)
+    return batches, held_x, held_y
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not reference_available(), reason="reference not mounted")
+def test_agcn_long_horizon_training_parity():
+    """AGCN, 200 steps of the production recipe (SGD nesterov 0.9,
+    wd 1e-4, clip 1.0, 25-step warmup then 0.1x decay at step 150):
+    per-step losses track the reference (tight for the first 20 steps,
+    within a chaos envelope after — fp32 summation-order differences
+    compound through momentum), the final parameter norms agree, and
+    the held-out eval-accuracy traces match."""
+    add_reference_to_path()
+    import torch
+    from model.architecture.aagcn.agcn import Model as TorchAGCN
+
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    torch.manual_seed(0)
+    ref = TorchAGCN(num_class=NUM_CLASS, num_point=25, num_person=2,
+                    graph="graph.ntu_rgb_d.Graph",
+                    graph_args={"labeling_mode": "spatial"}).train()
+    variables = agcn_variables_from_torch(ref.state_dict())
+
+    base_lr, steps_per_epoch, warmup, decay = 0.01, 5, 5, [30]
+    batches, held_x, held_y = _separable_batches((BATCH, 3, 16, 25, 2))
+
+    opt = torch.optim.SGD(ref.parameters(), lr=base_lr, momentum=0.9,
+                          nesterov=True, weight_decay=1e-4)
+    lossf = torch.nn.CrossEntropyLoss()
+    torch_losses, torch_acc = [], []
+    for i, (x, y) in enumerate(batches):
+        epoch = i // steps_per_epoch
+        if epoch < warmup:
+            lr = base_lr * (epoch + 1) / warmup
+        else:
+            lr = base_lr * (0.1 ** int(np.sum(epoch >= np.array(decay))))
+        for g in opt.param_groups:
+            g["lr"] = lr
+        opt.zero_grad()
+        loss = lossf(ref(torch.from_numpy(x)), torch.from_numpy(y))
+        loss.backward()
+        torch.nn.utils.clip_grad_norm_(ref.parameters(), 1.0)
+        opt.step()
+        torch_losses.append(float(loss))
+        if (i + 1) % EVAL_EVERY == 0:
+            ref.eval()
+            with torch.no_grad():
+                pred = ref(torch.from_numpy(held_x)).argmax(1).numpy()
+            ref.train()
+            torch_acc.append(float((pred == held_y).mean()))
+
+    adj = build_adjacency("ntu_rgb_d")
+    model = AGCN(num_class=NUM_CLASS, adj=adj)
+    sched = O.warmup_step_schedule(base_lr, steps_per_epoch, decay, warmup)
+    tx = O.sgd_nesterov(sched, weight_decay=1e-4, grad_clip=1.0)
+    state = TrainState.create(model.apply, variables["params"],
+                              variables["batch_stats"], tx)
+    step = jax.jit(make_train_step(L.cross_entropy))
+    fwd = jax.jit(lambda p, s, x: model.apply(
+        {"params": p, "batch_stats": s}, x, train=False))
+    key = jax.random.PRNGKey(0)
+    our_losses, our_acc = [], []
+    hx = jnp.asarray(held_x)
+    for i, (x, y) in enumerate(batches):
+        state, m = step(state, jnp.asarray(x), jnp.asarray(y), key)
+        our_losses.append(float(m["loss"]))
+        if (i + 1) % EVAL_EVERY == 0:
+            out = fwd(state.params, state.batch_stats, hx)
+            logits = out[0] if isinstance(out, tuple) else out
+            our_acc.append(
+                float((np.asarray(logits).argmax(1) == held_y).mean()))
+
+    # early steps tight; the full trace within the 200-step fp32 chaos
+    # envelope (measured drift ~1e-2 relative by step 200)
+    np.testing.assert_allclose(our_losses[:20], torch_losses[:20],
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(our_losses, torch_losses, rtol=0.10,
+                               atol=0.05)
+    np.testing.assert_allclose(_param_norm_jax(state.params),
+                               _param_norm_torch(ref), rtol=1e-3)
+    # eval-accuracy trace: same held-out split, at most 1 sample apart
+    assert len(our_acc) == len(torch_acc) == LONG_STEPS // EVAL_EVERY
+    np.testing.assert_allclose(our_acc, torch_acc, atol=1.0 / 32 + 1e-9)
+    # both actually learned past chance on the held-out split
+    assert our_acc[-1] > 1.5 / NUM_CLASS
+    assert torch_acc[-1] > 1.5 / NUM_CLASS
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not reference_available(), reason="reference not mounted")
+def test_sgn_long_horizon_training_parity():
+    """SGN v14, 200 steps of the production recipe (Adam, wd 1e-4,
+    clip 1.0, 25-step warmup then 0.1x decay at step 150, dropout off):
+    Adam sign-step chaos rules out a tight per-step loss envelope at
+    this horizon (the update rule itself is exact —
+    test_adam_update_rule_parity), so the assertions are the
+    trajectory-level ones: first-step loss tight, final parameter norm
+    within 2%, and the held-out eval-accuracy traces agree within 2
+    samples at every probe."""
+    import torch
+
+    overrides = dict(num_class=NUM_CLASS, dropout2d=0.0, dropout=0.0)
+    ref = _torch_sgn(**overrides).train()
+    kwargs = {**V14_KWARGS, **overrides}
+    variables = sgn_variables_from_torch(ref.state_dict())
+
+    base_lr, steps_per_epoch, warmup, decay = 1e-3, 5, 5, [30]
+    batches, held_x, held_y = _separable_batches((BATCH, 20, 75), seed=6)
+
+    opt = torch.optim.Adam(ref.parameters(), lr=base_lr, weight_decay=1e-4)
+    lossf = torch.nn.CrossEntropyLoss()
+    torch_losses, torch_acc = [], []
+    for i, (x, y) in enumerate(batches):
+        epoch = i // steps_per_epoch
+        if epoch < warmup:
+            lr = base_lr * (epoch + 1) / warmup
+        else:
+            lr = base_lr * (0.1 ** int(np.sum(epoch >= np.array(decay))))
+        for g in opt.param_groups:
+            g["lr"] = lr
+        opt.zero_grad()
+        loss = lossf(ref(torch.from_numpy(x))[0], torch.from_numpy(y))
+        loss.backward()
+        torch.nn.utils.clip_grad_norm_(ref.parameters(), 1.0)
+        opt.step()
+        torch_losses.append(float(loss))
+        if (i + 1) % EVAL_EVERY == 0:
+            ref.eval()
+            with torch.no_grad():
+                pred = ref(torch.from_numpy(held_x))[0].argmax(1).numpy()
+            ref.train()
+            torch_acc.append(float((pred == held_y).mean()))
+
+    model = _ours_from(kwargs)
+    sched = O.warmup_step_schedule(base_lr, steps_per_epoch, decay, warmup)
+    tx = O.adam(sched, weight_decay=1e-4, grad_clip=1.0)
+    state = TrainState.create(model.apply, variables["params"],
+                              variables.get("batch_stats", {}), tx)
+    step = jax.jit(make_train_step(L.cross_entropy))
+    fwd = jax.jit(lambda p, s, x: model.apply(
+        {"params": p, "batch_stats": s}, x, train=False))
+    key = jax.random.PRNGKey(0)
+    our_losses, our_acc = [], []
+    hx = jnp.asarray(held_x)
+    for i, (x, y) in enumerate(batches):
+        state, m = step(state, jnp.asarray(x), jnp.asarray(y), key)
+        our_losses.append(float(m["loss"]))
+        if (i + 1) % EVAL_EVERY == 0:
+            out = fwd(state.params, state.batch_stats, hx)
+            logits = out[0] if isinstance(out, tuple) else out
+            our_acc.append(
+                float((np.asarray(logits).argmax(1) == held_y).mean()))
+
+    np.testing.assert_allclose(our_losses[0], torch_losses[0], rtol=1e-4)
+    assert np.all(np.isfinite(our_losses))
+    np.testing.assert_allclose(_param_norm_jax(state.params),
+                               _param_norm_torch(ref), rtol=2e-2)
+    assert len(our_acc) == len(torch_acc) == LONG_STEPS // EVAL_EVERY
+    np.testing.assert_allclose(our_acc, torch_acc, atol=2.0 / 32 + 1e-9)
+    assert our_acc[-1] > 1.5 / NUM_CLASS
+    assert torch_acc[-1] > 1.5 / NUM_CLASS

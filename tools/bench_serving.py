@@ -51,7 +51,13 @@ def _fill(append, seed, n=T):
         append(rng.standard_normal((1, 1, 25, 3)).astype(np.float32) * 0.2)
 
 
-def bench(n_streams: int, ticks: int = 20):
+def bench(n_streams: int, ticks: int = 40, repeats: int = 5):
+    """One row of the round-5 A/B: sequential (reference-style, one
+    forward per stream) vs batched sync vs batched pipelined, plus the
+    host-prep / device-forward split. All rates are medians over
+    `repeats` windows with (max-min)/median spread."""
+    import statistics
+
     adj = build_adjacency("ntu_rgb_d")
     model = AGCN(num_class=60, adj=adj)
     x0 = np.zeros((1, 3, T, 25, 2), np.float32)
@@ -60,6 +66,8 @@ def bench(n_streams: int, ticks: int = 20):
 
     server = BatchedStreamServer(model, variables,
                                  max_streams=n_streams, **kwargs)
+    frame = np.random.default_rng(7).standard_normal(
+        (n_streams, 1, 1, 25, 3)).astype(np.float32) * 0.2
     singles = []
     for i in range(n_streams):
         sid = server.add_stream()
@@ -68,24 +76,72 @@ def bench(n_streams: int, ticks: int = 20):
         _fill(single.append_frame, i)
         singles.append(single)
 
-    server.predict()  # warmup/compile
-    t0 = time.perf_counter()
-    for _ in range(ticks):
-        server.predict()
-    batched = n_streams * ticks / (time.perf_counter() - t0)
+    def median_rate(window, n_preds):
+        window()  # warmup
+        rates = []
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            window()
+            rates.append(n_preds / (time.perf_counter() - t0))
+        med = statistics.median(rates)
+        return med, (max(rates) - min(rates)) / med * 100.0
 
-    singles[0].predict()  # warmup/compile
-    seq_ticks = max(1, ticks // 4)
-    t0 = time.perf_counter()
-    for _ in range(seq_ticks):
-        for s in singles:
-            s.predict()
-    sequential = n_streams * seq_ticks / (time.perf_counter() - t0)
-    print(f"streams={n_streams:4d}  batched {batched:8.1f} ticks/s  "
-          f"sequential {sequential:8.1f} ticks/s  "
-          f"speedup {batched / sequential:5.1f}x", flush=True)
+    def live_append(target):
+        for s in range(n_streams):
+            target(s, frame[s])
+
+    server.predict()  # compile
+
+    def w_sync():
+        for _ in range(ticks):
+            live_append(server.append_frame)
+            server.predict()
+
+    def w_pipe():
+        for _ in range(ticks):
+            live_append(server.append_frame)
+            server.predict_async()
+        server.flush()
+
+    batched, sp_b = median_rate(w_sync, n_streams * ticks)
+    pipelined, sp_p = median_rate(w_pipe, n_streams * ticks)
+
+    # split: host prep time vs device-only forward on the same batch
+    preps = []
+    for _ in range(12):
+        live_append(server.append_frame)
+        sids, per, x = server._prepare()
+        preps.append(server.last_prep_ms)
+    dev = []
+    for _ in range(12):
+        t0 = time.perf_counter()
+        out = server._forward(server.variables, x)
+        np.asarray(out[0] if isinstance(out, tuple) else out)
+        dev.append((time.perf_counter() - t0) * 1e3)
+    prep_ms = statistics.median(preps)
+    dev_ms = statistics.median(dev)
+
+    singles[0].predict()  # compile
+    seq_ticks = max(1, ticks // 8)
+
+    def w_seq():
+        for s in range(n_streams):
+            singles[s].append_frame(frame[s])
+        for _ in range(seq_ticks):
+            for s in singles:
+                s.predict()
+
+    sequential, sp_s = median_rate(w_seq, n_streams * seq_ticks)
+    print(f"streams={n_streams:4d}  sequential {sequential:8.1f} "
+          f"preds/s ±{sp_s:4.1f}%  batched {batched:8.1f} ±{sp_b:4.1f}%  "
+          f"pipelined {pipelined:8.1f} ±{sp_p:4.1f}%  "
+          f"[tick split: prep {prep_ms:.1f} ms | device {dev_ms:.1f} ms]",
+          flush=True)
+    return dict(streams=n_streams, sequential=sequential,
+                batched=batched, pipelined=pipelined,
+                prep_ms=prep_ms, device_ms=dev_ms)
 
 
 if __name__ == "__main__":
-    for n in [int(a) for a in sys.argv[1:]] or (8, 16, 64):
+    for n in [int(a) for a in sys.argv[1:]] or (4, 16, 64):
         bench(n)
