@@ -46,6 +46,7 @@ class UnitGCN(nn.Module):
     formulation: str = "agg_packed"  # 'pf' | 'custom' | 'agg' (ops/gcn.apply_gcn)
     attn_form: str = "transposed"    # ops/gcn.attention_logits
     edge_mesh: Any = None  # Mesh with 'edge' axis: in-model edge partition
+    fold_bn: bool = False  # BNs skipped at eval (folded variables only)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
@@ -139,12 +140,13 @@ class UnitGCN(nn.Module):
             y = gcn_ops.apply_gcn(compute, a1, w_stack, form) + out_b
 
         y = BatchNorm(scale_init_value=1e-6, axis_name=self.sync_axis,
-                      name="bn")(y, train)
+                      identity_at_eval=self.fold_bn, name="bn")(y, train)
 
         if in_c != self.out_channels:
             down = PointwiseConv(self.out_channels, dtype=self.dtype,
                                  name="down_conv")(x)
             down = BatchNorm(axis_name=self.sync_axis,
+                             identity_at_eval=self.fold_bn,
                              name="down_bn")(down, train)
         else:
             down = x
@@ -159,13 +161,16 @@ class UnitTCN(nn.Module):
     stride: int = 1
     sync_axis: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
+    fold_bn: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
         x = TemporalConv(self.out_channels, kernel_size=self.kernel_size,
                          stride=self.stride, dtype=self.dtype,
                          name="conv")(x)
-        return BatchNorm(axis_name=self.sync_axis, name="bn")(x, train)
+        return BatchNorm(axis_name=self.sync_axis,
+                         identity_at_eval=self.fold_bn,
+                         name="bn")(x, train)
 
 
 class STGCNBlock(nn.Module):
@@ -181,6 +186,7 @@ class STGCNBlock(nn.Module):
     formulation: str = "agg_packed"
     attn_form: str = "transposed"
     edge_mesh: Any = None
+    fold_bn: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
@@ -190,9 +196,11 @@ class STGCNBlock(nn.Module):
                     formulation=self.formulation,
                     attn_form=self.attn_form,
                     edge_mesh=self.edge_mesh,
+                    fold_bn=self.fold_bn,
                     name="gcn1")(x, train)
         y = UnitTCN(self.out_channels, stride=self.stride,
                     sync_axis=self.sync_axis, dtype=self.dtype,
+                    fold_bn=self.fold_bn,
                     name="tcn1")(y, train)
         if not self.residual:
             res = 0.0
@@ -201,7 +209,8 @@ class STGCNBlock(nn.Module):
         else:
             res = UnitTCN(self.out_channels, kernel_size=1,
                           stride=self.stride, sync_axis=self.sync_axis,
-                          dtype=self.dtype, name="residual")(x, train)
+                          dtype=self.dtype, fold_bn=self.fold_bn,
+                          name="residual")(x, train)
         return nn.relu(y + res)
 
 
@@ -224,6 +233,7 @@ class _ScanBlockBody(nn.Module):
     formulation: str = "agg_packed"
     attn_form: str = "transposed"
     edge_mesh: Any = None
+    fold_bn: bool = False
 
     @nn.compact
     def __call__(self, carry, train):
@@ -233,6 +243,7 @@ class _ScanBlockBody(nn.Module):
                        formulation=self.formulation,
                        attn_form=self.attn_form,
                        edge_mesh=self.edge_mesh,
+                       fold_bn=self.fold_bn,
                        name="block")(carry, train)
         return y, None
 
@@ -277,6 +288,9 @@ class AGCN(nn.Module):
     edge_mesh: Any = None  # Mesh with 'edge' axis: in-model edge partition
     remat: bool = False  # rematerialize blocks: trade FLOPs for HBM
     scan_blocks: bool = False  # scan homogeneous block groups (fast compile)
+    # eval-only: use with utils/bn_fold.fold_agcn_bn_eval'd variables —
+    # every block BN (not data_bn) is skipped in the compiled program
+    fold_bn: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -296,7 +310,8 @@ class AGCN(nn.Module):
                       use_pallas=self.use_pallas,
                       formulation=self.formulation,
                       attn_form=self.attn_form,
-                      edge_mesh=self.edge_mesh)
+                      edge_mesh=self.edge_mesh,
+                      fold_bn=self.fold_bn)
         if self.scan_blocks:
             # l1 / scan(l2-l4) / l5 / scan(l6-l7) / l8 / scan(l9-l10)
             x = STGCNBlock(64, self.adj, stride=1, residual=False,

@@ -41,6 +41,12 @@ class BatchNorm(nn.Module):
     axis_name: Optional[str] = None
     splits: int = 1
     dtype: Optional[jnp.dtype] = None
+    # BN-folding support (utils/bn_fold.py): the fold absorbs this BN's
+    # eval affine into the adjacent conv and neutralizes the stats; with
+    # this flag the op is skipped entirely at eval so the compiled
+    # program carries zero BN work (params stay declared so the folded
+    # variables tree matches). Training is unaffected.
+    identity_at_eval: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
@@ -55,6 +61,8 @@ class BatchNorm(nn.Module):
         ra_var = self.variable("batch_stats", "var",
                                lambda s: jnp.ones(s, jnp.float32),
                                (features,))
+        if not train and self.identity_at_eval:
+            return x
 
         def affine_apply(mean, var):
             # Folded per-channel affine: y = x*a + b with fp32 a/b.

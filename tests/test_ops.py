@@ -117,3 +117,50 @@ def test_flops_cost_analysis():
     # sum over blocks of 2*B*T*V*(K*C)*Co with B=4 (persons folded)
     assert flops > 1e8, ca
     assert np.isfinite(flops)
+
+
+def test_agcn_bn_fold_eval_exact():
+    """BN folding (utils/bn_fold.py) is exact at eval: folded variables
+    reproduce the unfolded logits, and every folded BN is the identity
+    affine (a=1, b=0) so XLA erases it from the compiled program."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from agcn_tpu.graph import build_adjacency
+    from agcn_tpu.models import AGCN
+    from agcn_tpu.utils.bn_fold import fold_agcn_bn_eval
+
+    adj = build_adjacency("ntu_rgb_d")
+    model = AGCN(num_class=9, adj=adj)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 3, 16, 25, 2)), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    # non-trivial BN stats + scales
+    _, upd = model.apply(variables, x, train=True,
+                         mutable=["batch_stats"],
+                         rngs={"dropout": jax.random.PRNGKey(1)})
+    variables = {"params": variables["params"],
+                 "batch_stats": upd["batch_stats"]}
+    want = model.apply(variables, x, train=False)
+    want = np.asarray(want[0] if isinstance(want, tuple) else want)
+
+    folded = fold_agcn_bn_eval(variables)
+    got = model.apply(folded, x, train=False)
+    got = np.asarray(got[0] if isinstance(got, tuple) else got)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+    # with fold_bn=True the compiled eval program SKIPS every block BN
+    # (identity_at_eval) — same logits on the folded variables
+    fold_model = AGCN(num_class=9, adj=adj, fold_bn=True)
+    got2 = fold_model.apply(folded, x, train=False)
+    got2 = np.asarray(got2[0] if isinstance(got2, tuple) else got2)
+    np.testing.assert_allclose(got2, want, rtol=2e-4, atol=2e-4)
+
+    # folded BNs are the exact identity (rsqrt(var+eps) == 1)
+    g = folded["params"]["l1"]["gcn1"]["bn"]
+    s = folded["batch_stats"]["l1"]["gcn1"]["bn"]
+    assert np.all(g["scale"] == 1.0) and np.all(g["bias"] == 0.0)
+    assert np.all(s["mean"] == 0.0)
+    np.testing.assert_allclose(
+        1.0 / np.sqrt(s["var"] + 1e-5), 1.0, rtol=0, atol=0)

@@ -1,0 +1,104 @@
+#!/usr/bin/env python
+"""Eval-path ceiling study (VERDICT r4 next #4).
+
+The train path got a three-round op-attributed MFU analysis; this gives
+the forward-only path the same rigor: a batch sweep (256/512/1024)
+through the relay, a BN-fold A/B (utils/bn_fold.py — exact at eval,
+erases every per-block BN from the compiled program), and the compiled
+program's own FLOPs so each point carries an MFU estimate against the
+calibrated chip peak.
+
+    python tools/bench_eval_study.py [batch ...]   # default 256 512 1024
+"""
+
+import os
+import statistics
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+try:
+    _r = subprocess.run(
+        [sys.executable, "-c", "import jax; jax.devices()"],
+        timeout=300, capture_output=True)
+    if _r.returncode != 0:
+        raise RuntimeError
+except Exception:
+    print("# TPU backend unavailable; falling back to CPU", flush=True)
+    jax.config.update("jax_platforms", "cpu")
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/jax_comp_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp
+import numpy as np
+
+from agcn_tpu.graph import build_adjacency
+from agcn_tpu.models import AGCN
+from agcn_tpu.utils.bn_fold import fold_agcn_bn_eval
+
+C, T, V, M, NUM_CLASS = 3, 300, 25, 2, 60
+PEAK_TFLOPS = 123.5  # calibrated bf16 GEMM peak on this chip (PERF.md r3)
+
+
+def _rate(fwd, variables, x, batch, steps, repeats=5):
+    out = fwd(variables, x)
+    float(np.asarray(out).sum())  # compile + warm
+    rates = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            out = fwd(variables, x)
+        float(np.asarray(out).sum())
+        rates.append(batch * steps / (time.perf_counter() - t0))
+    med = statistics.median(rates)
+    return med, (max(rates) - min(rates)) / med * 100.0
+
+
+def study(batch: int, steps: int = 10):
+    adj = build_adjacency("ntu_rgb_d")
+    model = AGCN(num_class=NUM_CLASS, adj=adj, dtype=jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((batch, C, T, V, M)), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    # non-trivial BN stats so the fold A/B is honest
+    _, upd = model.apply(variables, x[:8], train=True,
+                         mutable=["batch_stats"],
+                         rngs={"dropout": jax.random.PRNGKey(1)})
+    variables = {"params": variables["params"],
+                 "batch_stats": upd["batch_stats"]}
+
+    fwd = jax.jit(lambda v, x: model.apply(v, x, train=False)[0])
+    flops = 0.0
+    try:
+        cost = fwd.lower(variables, x).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0)) if cost else 0.0
+    except Exception:
+        pass
+
+    base, sp_base = _rate(fwd, variables, x, batch, steps)
+    folded_vars = jax.tree_util.tree_map(
+        jnp.asarray, fold_agcn_bn_eval(variables))
+    fold_model = AGCN(num_class=NUM_CLASS, adj=adj, dtype=jnp.bfloat16,
+                      fold_bn=True)
+    ffwd = jax.jit(lambda v, x: fold_model.apply(v, x, train=False)[0])
+    fold, sp_fold = _rate(ffwd, folded_vars, x, batch, steps)
+
+    mfu = (flops * base / batch) / (PEAK_TFLOPS * 1e12) * 100 if flops \
+        else 0.0
+    print(f"batch={batch:5d}  base {base:8.1f} seq/s ±{sp_base:4.1f}%  "
+          f"bn-folded {fold:8.1f} ±{sp_fold:4.1f}%  "
+          f"({fold / base - 1:+.1%})  fwd_mfu {mfu:4.1f}%", flush=True)
+    return dict(batch=batch, base=base, folded=fold, mfu=mfu)
+
+
+if __name__ == "__main__":
+    for b in [int(a) for a in sys.argv[1:]] or (256, 512, 1024):
+        study(b)
