@@ -75,11 +75,17 @@ class BatchedStreamServer:
         self._streams: Dict[int, InferencePreprocessor] = {}
         self._rngs: Dict[int, np.random.Generator] = {}
         self._next_id = 0
-        self._pad_row: Optional[np.ndarray] = None
+        # ping-pong batch buffers: the async pipeline keeps one tick in
+        # flight, and on CPU backends jnp.asarray may alias host memory —
+        # the buffer being filled must never be the one the in-flight
+        # program reads
+        self._xbufs = [None, None]
+        self._xbuf_i = 0
         self._pool = None  # lazy thread pool for host preprocessing
         self._pending = None  # in-flight (sids, per, out) for async mode
         self.last_latency_ms = 0.0
         self.last_prep_ms = 0.0
+        self.last_h2d_ms = 0.0
 
     # -- stream lifecycle --------------------------------------------
 
@@ -127,30 +133,47 @@ class BatchedStreamServer:
         sids = sorted(self._streams)
         if not sids:
             return None
-        # host preprocessing is ~2.7 ms/stream (pre_normalization's
-        # Rodrigues alignments) — at 64 streams that rivals the device
-        # forward, so fan it out over threads (numpy releases the GIL;
-        # each stream's state is touched by exactly one task)
-        if len(sids) > 4:
+        # row 0 serially: it fixes the per-stream row shape so the
+        # batch buffer can be preallocated ONCE and every worker writes
+        # its slice in place (per-stream tasks + a 64-array concatenate
+        # cost ~0.6 ms/stream of pure overhead at 64 streams)
+        row0 = self._stream_input(sids[0])
+        per = row0.shape[0]  # crops per stream (1 for dense)
+        shape = (self.max_streams * per,) + row0.shape[1:]
+        self._xbuf_i ^= 1
+        if self._xbufs[self._xbuf_i] is None or                 self._xbufs[self._xbuf_i].shape != shape:
+            # zero so pad slots start defined; stale rows from removed
+            # streams are harmless — eval has no cross-row coupling and
+            # _finalize discards everything past len(sids)*per
+            self._xbufs[self._xbuf_i] = np.zeros(shape, row0.dtype)
+        x = self._xbufs[self._xbuf_i]
+        x[:per] = row0
+        rest = sids[1:]
+        if len(rest) > 4:
+            # chunked fan-out: W slab tasks, not one per stream (numpy
+            # releases the GIL; each stream's state is touched by
+            # exactly one task; slices are disjoint)
             if self._pool is None:
                 import concurrent.futures as cf
                 self._pool = cf.ThreadPoolExecutor(
                     max_workers=min(8, self.max_streams))
-            rows = list(self._pool.map(self._stream_input, sids))
+            workers = min(8, len(rest))
+
+            def slab(w):
+                for j in range(1 + w, len(sids), workers):
+                    x[j * per:(j + 1) * per] = self._stream_input(sids[j])
+
+            list(self._pool.map(slab, range(workers)))
         else:
-            rows = [self._stream_input(sid) for sid in sids]
-        per = rows[0].shape[0]  # crops per stream (1 for dense)
-        x = np.concatenate(rows, axis=0)
-        # zero-pad to the static program shape
-        if self._pad_row is None or \
-                self._pad_row.shape != rows[0].shape:
-            self._pad_row = np.zeros_like(rows[0])
-        pads = self.max_streams - len(sids)
-        if pads:
-            x = np.concatenate([x] + [self._pad_row] * pads, axis=0)
-        x = jnp.asarray(x)
+            for j, sid in enumerate(rest, start=1):
+                x[j * per:(j + 1) * per] = self._stream_input(sid)
+        t1 = time.perf_counter()
+        xd = jnp.asarray(x)
+        # split out the host->device transfer: on a tunneled device it
+        # dominates "prep" while pure host work stays sub-ms/stream
+        self.last_h2d_ms = (time.perf_counter() - t1) * 1e3
         self.last_prep_ms = (time.perf_counter() - t0) * 1e3
-        return sids, per, x
+        return sids, per, xd
 
     def _finalize(self, sids, per, out
                   ) -> Dict[int, Tuple[int, np.ndarray]]:

@@ -107,11 +107,12 @@ def bench(n_streams: int, ticks: int = 40, repeats: int = 5):
     pipelined, sp_p = median_rate(w_pipe, n_streams * ticks)
 
     # split: host prep time vs device-only forward on the same batch
-    preps = []
+    preps, h2ds = [], []
     for _ in range(12):
         live_append(server.append_frame)
         sids, per, x = server._prepare()
-        preps.append(server.last_prep_ms)
+        preps.append(server.last_prep_ms - server.last_h2d_ms)
+        h2ds.append(server.last_h2d_ms)
     dev = []
     for _ in range(12):
         t0 = time.perf_counter()
@@ -119,6 +120,7 @@ def bench(n_streams: int, ticks: int = 40, repeats: int = 5):
         np.asarray(out[0] if isinstance(out, tuple) else out)
         dev.append((time.perf_counter() - t0) * 1e3)
     prep_ms = statistics.median(preps)
+    h2d_ms = statistics.median(h2ds)
     dev_ms = statistics.median(dev)
 
     singles[0].predict()  # compile
@@ -135,11 +137,12 @@ def bench(n_streams: int, ticks: int = 40, repeats: int = 5):
     print(f"streams={n_streams:4d}  sequential {sequential:8.1f} "
           f"preds/s ±{sp_s:4.1f}%  batched {batched:8.1f} ±{sp_b:4.1f}%  "
           f"pipelined {pipelined:8.1f} ±{sp_p:4.1f}%  "
-          f"[tick split: prep {prep_ms:.1f} ms | device {dev_ms:.1f} ms]",
+          f"[tick split: host prep {prep_ms:.1f} ms | h2d "
+          f"{h2d_ms:.1f} ms | device {dev_ms:.1f} ms]",
           flush=True)
     return dict(streams=n_streams, sequential=sequential,
                 batched=batched, pipelined=pipelined,
-                prep_ms=prep_ms, device_ms=dev_ms)
+                prep_ms=prep_ms, h2d_ms=h2d_ms, device_ms=dev_ms)
 
 
 if __name__ == "__main__":
