@@ -208,6 +208,7 @@ class GCNUnit(nn.Module):
     formulation: str = "agg_packed"
     attn_form: str = "transposed"    # ops/gcn.attention_logits
     edge_mesh: Any = None
+    fold_bn: bool = False  # BNs skipped at eval (folded variables only)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
@@ -224,12 +225,14 @@ class GCNUnit(nn.Module):
             y = gcn_cls(self.out_channels, inter_c, self.adj,
                         dtype=self.dtype, name="agcn")(x)
         y = BatchNorm(scale_init_value=1e-6, axis_name=self.sync_axis,
-                      splits=self.gbn_split, name="bn")(y, train)
+                      splits=self.gbn_split,
+                      identity_at_eval=self.fold_bn, name="bn")(y, train)
         if in_c != self.out_channels:
             down = PointwiseConv(self.out_channels, dtype=self.dtype,
                                  name="down_conv")(x)
             down = BatchNorm(axis_name=self.sync_axis,
                              splits=self.gbn_split,
+                             identity_at_eval=self.fold_bn,
                              name="down_bn")(down, train)
         else:
             down = x
@@ -253,6 +256,7 @@ class TCNUnit(nn.Module):
     gbn_split: int = 1
     sync_axis: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
+    fold_bn: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
@@ -260,6 +264,7 @@ class TCNUnit(nn.Module):
                          stride=self.stride, pad=self.pad, dtype=self.dtype,
                          name="conv")(x)
         return BatchNorm(axis_name=self.sync_axis, splits=self.gbn_split,
+                         identity_at_eval=self.fold_bn,
                          name="bn")(x, train)
 
 
@@ -280,6 +285,7 @@ class TCNGCNUnit(nn.Module):
     formulation: str = "agg_packed"
     attn_form: str = "transposed"    # ops/gcn.attention_logits
     edge_mesh: Any = None
+    fold_bn: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
@@ -290,11 +296,13 @@ class TCNGCNUnit(nn.Module):
                     formulation=self.formulation,
                     attn_form=self.attn_form,
                     edge_mesh=self.edge_mesh,
+                    fold_bn=self.fold_bn,
                     name="gcn1")(x, train)
         y = TCNUnit(self.out_channels, kernel_size=self.kernel_size,
                     stride=self.stride, pad=self.pad,
                     gbn_split=self.gbn_split, sync_axis=self.sync_axis,
-                    dtype=self.dtype, name="tcn1")(y, train)
+                    dtype=self.dtype, fold_bn=self.fold_bn,
+                    name="tcn1")(y, train)
         if not self.residual:
             res = 0.0
         elif in_c == self.out_channels and self.stride == 1:
@@ -303,6 +311,7 @@ class TCNGCNUnit(nn.Module):
             res = TCNUnit(self.out_channels, kernel_size=1,
                           stride=self.stride, gbn_split=self.gbn_split,
                           sync_axis=self.sync_axis, dtype=self.dtype,
+                          fold_bn=self.fold_bn,
                           name="residual")(x, train)
         return nn.relu(y + res)
 
@@ -385,6 +394,9 @@ class AAGCN(nn.Module):
     sync_axis: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
     edge_mesh: Any = None  # Mesh with 'edge' axis: in-model edge partition
+    # eval-only: use with utils/bn_fold.fold_aagcn_bn_eval'd variables —
+    # every unit BN (not data_bn) is skipped in the compiled program
+    fold_bn: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False):
@@ -424,6 +436,7 @@ class AAGCN(nn.Module):
                            attn_form=self.attn_form,
                            edge_mesh=self.edge_mesh,
                            sync_axis=self.sync_axis, dtype=self.dtype,
+                           fold_bn=self.fold_bn,
                            name=name)(x, train)
             last_c = ch
 

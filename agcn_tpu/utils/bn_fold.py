@@ -11,10 +11,12 @@ This is an eval-only lever the train-path ceiling study can't use
 (VERDICT r4 next #4); training must keep live batch statistics.
 Reference eval path: utils/processor.py:784-914 (torch never folds).
 
-Covers the AGCN family layout (models/agcn.py): every block's
-aggregation BN, down BN, TCN BN and residual BN. data_bn is left live —
-it precedes the first conv and feeds the attention/residual paths, so
-it has no single adjacent conv to absorb it.
+Covers the AGCN family layout (models/agcn.py) and the AAGCN layout
+(models/aagcn.py): every block's aggregation BN, down BN, TCN BN and
+residual BN. data_bn is left live — it precedes the first conv and
+feeds the attention/residual paths, so it has no single adjacent conv
+to absorb it. (GhostBN units fold identically: at eval GBN applies the
+same running-stats affine as plain BN.)
 """
 
 from __future__ import annotations
@@ -71,6 +73,45 @@ def fold_agcn_bn_eval(variables: Mapping[str, Any]) -> Dict[str, Any]:
             g[bias_name] = np.asarray(g[bias_name], np.float32) * a
             if i == 0:  # the BN shift lands once in the summed bias
                 g[bias_name] = g[bias_name] + b
+        _neutralize(g["bn"], gs["bn"])
+        if "down_conv" in g:
+            a, b = _affine(g["down_bn"], gs["down_bn"])
+            _fold_conv(g["down_conv"]["conv"], a, b)
+            _neutralize(g["down_bn"], gs["down_bn"])
+        a, b = _affine(bp["tcn1"]["bn"], bs["tcn1"]["bn"])
+        _fold_conv(bp["tcn1"]["conv"]["conv"], a, b)
+        _neutralize(bp["tcn1"]["bn"], bs["tcn1"]["bn"])
+        if "residual" in bp:
+            a, b = _affine(bp["residual"]["bn"], bs["residual"]["bn"])
+            _fold_conv(bp["residual"]["conv"]["conv"], a, b)
+            _neutralize(bp["residual"]["bn"], bs["residual"]["bn"])
+
+    return {"params": params, "batch_stats": stats}
+
+
+def fold_aagcn_bn_eval(variables: Mapping[str, Any]) -> Dict[str, Any]:
+    """Return new AAGCN variables with every unit's BNs folded into the
+    adjacent convs (exact at eval; do NOT train from the result). The
+    conv_d projections live one level deeper than AGCN's (under the
+    'agcn' sub-module); STC attention applies after the BN+ReLU and is
+    untouched."""
+    variables = jax.tree_util.tree_map(
+        lambda x: np.array(x, np.float32), dict(variables))
+    params, stats = variables["params"], variables["batch_stats"]
+
+    for block in [k for k in params if k.startswith("l")]:
+        bp, bs = params[block], stats[block]
+        g, gs = bp["gcn1"], bs["gcn1"]
+        a, b = _affine(g["bn"], gs["bn"])
+        ag = g["agcn"]
+        ks = sorted(k for k in ag if k.startswith("conv_d")
+                    and k.endswith("_kernel"))
+        for i, kk in enumerate(ks):
+            bias_name = kk.replace("_kernel", "_bias")
+            ag[kk] = np.asarray(ag[kk], np.float32) * a
+            ag[bias_name] = np.asarray(ag[bias_name], np.float32) * a
+            if i == 0:  # the BN shift lands once in the summed bias
+                ag[bias_name] = ag[bias_name] + b
         _neutralize(g["bn"], gs["bn"])
         if "down_conv" in g:
             a, b = _affine(g["down_bn"], gs["down_bn"])

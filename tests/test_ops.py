@@ -164,3 +164,33 @@ def test_agcn_bn_fold_eval_exact():
     assert np.all(s["mean"] == 0.0)
     np.testing.assert_allclose(
         1.0 / np.sqrt(s["var"] + 1e-5), 1.0, rtol=0, atol=0)
+
+
+def test_aagcn_bn_fold_eval_exact():
+    """AAGCN BN folding: folded variables + fold_bn=True model reproduce
+    the unfolded logits (STC attention after the folded BN included)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from agcn_tpu.graph import build_adjacency
+    from agcn_tpu.models import AAGCN
+    from agcn_tpu.utils.bn_fold import fold_aagcn_bn_eval
+
+    adj = build_adjacency("ntu_rgb_d")
+    model = AAGCN(num_class=7, adj=adj, model_layers=6)
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((2, 3, 16, 25, 2)), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    _, upd = model.apply(variables, x, train=True,
+                         mutable=["batch_stats"],
+                         rngs={"dropout": jax.random.PRNGKey(1)})
+    variables = {"params": variables["params"],
+                 "batch_stats": upd["batch_stats"]}
+    want, _ = model.apply(variables, x, train=False)
+
+    folded = fold_aagcn_bn_eval(variables)
+    fold_model = AAGCN(num_class=7, adj=adj, model_layers=6, fold_bn=True)
+    got, _ = fold_model.apply(folded, x, train=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)

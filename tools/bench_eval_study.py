@@ -101,4 +101,8 @@ def study(batch: int, steps: int = 10):
 
 if __name__ == "__main__":
     for b in [int(a) for a in sys.argv[1:]] or (256, 512, 1024):
-        study(b)
+        try:
+            study(b)
+        except Exception as e:  # batch 512+ RESOURCE_EXHAUSTs this chip
+            print(f"batch={b:5d}  {type(e).__name__}: "
+                  f"{str(e).splitlines()[0][:120]}", flush=True)

@@ -50,7 +50,7 @@ def classify(name: str) -> str:
     return "other"
 
 
-def main(batch=64, formulation="agg_packed"):
+def main(batch=64, formulation="agg_packed", eval_mode=False):
     adj = build_adjacency("ntu_rgb_d")
     model = AGCN(num_class=NUM_CLASS, adj=adj, dtype=jnp.bfloat16,
                  formulation=formulation)
@@ -61,13 +61,25 @@ def main(batch=64, formulation="agg_packed"):
     tx = optim.sgd_nesterov(optim.warmup_step_schedule(0.1, 1, [30, 40]))
     state = TrainState.create(model.apply, variables["params"],
                               variables["batch_stats"], tx)
-    step = jax.jit(make_train_step(losses.cross_entropy), donate_argnums=0)
     key = jax.random.PRNGKey(0)
+    if eval_mode:
+        # forward-only attribution (VERDICT r4 next #4): same xplane
+        # machinery over the jitted eval program
+        fwd = jax.jit(lambda v, x: model.apply(v, x, train=False)[0])
+
+        def step(state, x, y, key):
+            return state, {"loss": fwd(variables, x).sum()}
+    else:
+        step = jax.jit(make_train_step(losses.cross_entropy),
+                       donate_argnums=0)
     # compiled HLO text: maps %op names from the trace back to the
     # instruction (operands, layouts) that produced them
     hlo_text = ""
     try:
-        hlo_text = step.lower(state, x, y, key).compile().as_text()
+        if eval_mode:
+            hlo_text = fwd.lower(variables, x).compile().as_text()
+        else:
+            hlo_text = step.lower(state, x, y, key).compile().as_text()
     except Exception as e:
         print(f"# HLO text unavailable: {e}", file=sys.stderr)
     state, m = step(state, x, y, key)
@@ -206,6 +218,7 @@ def main(batch=64, formulation="agg_packed"):
 
 
 if __name__ == "__main__":
-    b = int(sys.argv[1]) if len(sys.argv) > 1 else 64
-    f = sys.argv[2] if len(sys.argv) > 2 else "agg_packed"
-    main(b, f)
+    args = [a for a in sys.argv[1:] if a != "--eval"]
+    b = int(args[0]) if args else 64
+    f = args[1] if len(args) > 1 else "agg_packed"
+    main(b, f, eval_mode="--eval" in sys.argv[1:])
