@@ -47,6 +47,7 @@ class UnitGCN(nn.Module):
     attn_form: str = "transposed"    # ops/gcn.attention_logits
     edge_mesh: Any = None  # Mesh with 'edge' axis: in-model edge partition
     fold_bn: bool = False  # BNs skipped at eval (folded variables only)
+    eval_formulation: Optional[str] = None  # override the eval-mode form
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
@@ -132,7 +133,7 @@ class UnitGCN(nn.Module):
             if train or self.formulation.startswith("pallas"):
                 form = self.formulation
             else:
-                form = "pf"
+                form = self.eval_formulation or "pf"
             w_stack = jnp.stack(k_d)  # (K, C, Co)
             if self.dtype is not None:
                 w_stack = w_stack.astype(self.dtype)
@@ -187,6 +188,7 @@ class STGCNBlock(nn.Module):
     attn_form: str = "transposed"
     edge_mesh: Any = None
     fold_bn: bool = False
+    eval_formulation: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
@@ -197,6 +199,7 @@ class STGCNBlock(nn.Module):
                     attn_form=self.attn_form,
                     edge_mesh=self.edge_mesh,
                     fold_bn=self.fold_bn,
+                    eval_formulation=self.eval_formulation,
                     name="gcn1")(x, train)
         y = UnitTCN(self.out_channels, stride=self.stride,
                     sync_axis=self.sync_axis, dtype=self.dtype,
@@ -234,6 +237,7 @@ class _ScanBlockBody(nn.Module):
     attn_form: str = "transposed"
     edge_mesh: Any = None
     fold_bn: bool = False
+    eval_formulation: Optional[str] = None
 
     @nn.compact
     def __call__(self, carry, train):
@@ -244,6 +248,7 @@ class _ScanBlockBody(nn.Module):
                        attn_form=self.attn_form,
                        edge_mesh=self.edge_mesh,
                        fold_bn=self.fold_bn,
+                       eval_formulation=self.eval_formulation,
                        name="block")(carry, train)
         return y, None
 
@@ -291,6 +296,9 @@ class AGCN(nn.Module):
     # eval-only: use with utils/bn_fold.fold_agcn_bn_eval'd variables —
     # every block BN (not data_bn) is skipped in the compiled program
     fold_bn: bool = False
+    # eval-only GCN formulation override (default 'pf'; tools/
+    # bench_eval_study.py sweeps the alternatives at serving shapes)
+    eval_formulation: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -311,7 +319,8 @@ class AGCN(nn.Module):
                       formulation=self.formulation,
                       attn_form=self.attn_form,
                       edge_mesh=self.edge_mesh,
-                      fold_bn=self.fold_bn)
+                      fold_bn=self.fold_bn,
+                      eval_formulation=self.eval_formulation)
         if self.scan_blocks:
             # l1 / scan(l2-l4) / l5 / scan(l6-l7) / l8 / scan(l9-l10)
             x = STGCNBlock(64, self.adj, stride=1, residual=False,

@@ -99,7 +99,37 @@ def study(batch: int, steps: int = 10):
     return dict(batch=batch, base=base, folded=fold, mfu=mfu)
 
 
+def forms_sweep(batch: int = 256, steps: int = 10):
+    """Eval-formulation A/B at the serving shape: the xplane trace shows
+    42% of eval device time in relayout copies around the 'pf' form's
+    aggregation (ops/gcn.py:122) — do any of the other formulations
+    compile to a cheaper eval schedule?"""
+    adj = build_adjacency("ntu_rgb_d")
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((batch, C, T, V, M)), jnp.float32)
+    base = None
+    for form in ("pf", "pf_packed", "agg", "agg_packed", "agg_packed2",
+                 "custom", "fused_dyn", "hybrid"):
+        model = AGCN(num_class=NUM_CLASS, adj=adj, dtype=jnp.bfloat16,
+                     eval_formulation=form)
+        variables = model.init(jax.random.PRNGKey(0), x[:8], train=False)
+        fwd = jax.jit(lambda v, x, m=model: m.apply(v, x, train=False)[0])
+        try:
+            med, sp = _rate(fwd, variables, x, batch, steps, repeats=3)
+        except Exception as e:
+            print(f"  eval form {form:12s} failed: "
+                  f"{str(e).splitlines()[0][:100]}", flush=True)
+            continue
+        if base is None:
+            base = med
+        print(f"  eval form {form:12s} {med:8.1f} seq/s ±{sp:4.1f}%  "
+              f"(vs pf {med / base - 1:+.1%})", flush=True)
+
+
 if __name__ == "__main__":
+    if "--forms" in sys.argv[1:]:
+        forms_sweep()
+        sys.exit(0)
     for b in [int(a) for a in sys.argv[1:]] or (256, 512, 1024):
         try:
             study(b)

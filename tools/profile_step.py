@@ -35,6 +35,11 @@ C, T, V, M, NUM_CLASS = 3, 300, 25, 2, 60
 
 def classify(name: str) -> str:
     n = name.lower()
+    if "copy-start" in n or "copy-done" in n:
+        # async parameter-prefetch copies: the -start event's span covers
+        # the whole in-flight window and overlaps compute by design —
+        # bucketing them as copies would dwarf the real relayout copies
+        return "async-prefetch"
     if "copy" in n or "transpose" in n or "bitcast" in n:
         return "copy/transpose"
     if "convolution" in n or "conv" in n:
