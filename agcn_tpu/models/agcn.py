@@ -127,13 +127,15 @@ class UnitGCN(nn.Module):
                                self.edge_mesh) + out_b
         else:
             # training: 'agg' fuses best in the full step; inference:
-            # project-first forward is 2.6x faster among the XLA forms
-            # (ops/gcn.apply_gcn), while the pallas formulations keep
-            # their fused forward kernel at eval too
+            # 'agg' also wins on the current toolchain (+5% over the
+            # round-2 'pf' pick at batch 64 AND 256 — round-5 eval-forms
+            # sweep, tools/bench_eval_study.py --forms), while the
+            # pallas formulations keep their fused forward kernel at
+            # eval too
             if train or self.formulation.startswith("pallas"):
                 form = self.formulation
             else:
-                form = self.eval_formulation or "pf"
+                form = self.eval_formulation or "agg"
             w_stack = jnp.stack(k_d)  # (K, C, Co)
             if self.dtype is not None:
                 w_stack = w_stack.astype(self.dtype)

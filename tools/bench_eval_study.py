@@ -128,7 +128,8 @@ def forms_sweep(batch: int = 256, steps: int = 10):
 
 if __name__ == "__main__":
     if "--forms" in sys.argv[1:]:
-        forms_sweep()
+        rest = [a for a in sys.argv[1:] if a != "--forms"]
+        forms_sweep(batch=int(rest[0]) if rest else 256)
         sys.exit(0)
     for b in [int(a) for a in sys.argv[1:]] or (256, 512, 1024):
         try:
