@@ -192,7 +192,13 @@ class BatchedStreamServer:
 
     def predict(self) -> Dict[int, Tuple[int, np.ndarray]]:
         """One batched forward over all live streams ->
-        {stream_id: (label, probabilities)}."""
+        {stream_id: (label, probabilities)}. Not interleavable with an
+        in-flight predict_async() tick — drain with flush() first, or
+        the pipelined results would silently go stale/misordered."""
+        if self._pending is not None:
+            raise RuntimeError(
+                "a pipelined tick is in flight: call flush() before "
+                "mixing predict() with predict_async()")
         t0 = time.perf_counter()
         prepped = self._prepare()
         if prepped is None:

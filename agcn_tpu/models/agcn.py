@@ -298,8 +298,8 @@ class AGCN(nn.Module):
     # eval-only: use with utils/bn_fold.fold_agcn_bn_eval'd variables —
     # every block BN (not data_bn) is skipped in the compiled program
     fold_bn: bool = False
-    # eval-only GCN formulation override (default 'pf'; tools/
-    # bench_eval_study.py sweeps the alternatives at serving shapes)
+    # eval-only GCN formulation override (default 'agg', the round-5
+    # sweep winner; tools/bench_eval_study.py --forms re-measures)
     eval_formulation: Optional[str] = None
 
     @nn.compact

@@ -52,24 +52,30 @@ def _shape_bytes(shape_text: str) -> int:
     return total
 
 
-_GROUPS_RE = re.compile(r"replica_groups=\{\{([0-9,]+)\}")
+_GROUPS_RE = re.compile(r"replica_groups=\{((?:\{[0-9,]*\},?)+)\}")
 _GROUPS_IOTA_RE = re.compile(r"replica_groups=\[(\d+),(\d+)\]<=")
-_PAIRS_RE = re.compile(r"source_target_pairs=\{(.*?)\}\}")
+_PAIRS_RE = re.compile(
+    r"source_target_pairs=\{((?:\{\d+,\d+\},?)*)\}")
 
 
 def _moves_data(line: str) -> bool:
     """False for degenerate collectives that move nothing over the
-    interconnect: singleton replica groups (a 1-shard mesh still emits
-    the all-reduce op) and empty/self-only permute pair lists."""
+    interconnect: all-singleton replica groups (a 1-shard mesh still
+    emits the all-reduce op) and empty/self-only permute pair lists.
+    A collective with ANY multi-member group counts."""
     m = _GROUPS_RE.search(line)
     if m:
-        return len(m.group(1).split(",")) > 1
+        groups = re.findall(r"\{([0-9,]*)\}", m.group(1))
+        return any(len([x for x in g.split(",") if x]) > 1
+                   for g in groups)
     m = _GROUPS_IOTA_RE.search(line)
     if m:  # [groups, group_size]<=[...]
         return int(m.group(2)) > 1
+    if "source_target_pairs={}" in line:
+        return False
     m = _PAIRS_RE.search(line)
     if m:
-        pairs = re.findall(r"\{(\d+),(\d+)\}", "{" + m.group(1) + "}}")
+        pairs = re.findall(r"\{(\d+),(\d+)\}", m.group(1))
         return any(a != b for a, b in pairs)
     return True  # no group info: count it (conservative)
 

@@ -38,18 +38,29 @@ def _affine(bn_params: Mapping[str, Any],
     return a, b
 
 
+def _bcast(a: np.ndarray, ndim: int) -> np.ndarray:
+    """Align a (..., C) per-channel vector to a (..., *, C) kernel:
+    scanned-block checkpoints carry a leading stacked axis on BOTH, so
+    insert the broadcast 1s BETWEEN the scan axes and the channel
+    axis."""
+    a = np.asarray(a)
+    return a.reshape(a.shape[:-1] + (1,) * (ndim - a.ndim) + a.shape[-1:])
+
+
 def _neutralize(bn_params: Dict[str, Any], bn_stats: Dict[str, Any]):
-    c = np.shape(bn_params["scale"])[0]
-    bn_params["scale"] = np.ones(c, np.float32)
-    bn_params["bias"] = np.zeros(c, np.float32)
-    bn_stats["mean"] = np.zeros(c, np.float32)
+    shape = np.shape(bn_params["scale"])
+    bn_params["scale"] = np.ones(shape, np.float32)
+    bn_params["bias"] = np.zeros(shape, np.float32)
+    bn_stats["mean"] = np.zeros(shape, np.float32)
     # var such that rsqrt(var + eps) == 1 exactly
-    bn_stats["var"] = np.full(c, 1.0 - _EPS, np.float32)
+    bn_stats["var"] = np.full(shape, 1.0 - _EPS, np.float32)
 
 
 def _fold_conv(conv: Dict[str, Any], a: np.ndarray, b: np.ndarray):
-    """conv kernel (..., out) and bias (out,) absorb y = conv(x)*a + b."""
-    conv["kernel"] = np.asarray(conv["kernel"], np.float32) * a
+    """conv kernel (..., out) and bias (..., out) absorb
+    y = conv(x)*a + b."""
+    kern = np.asarray(conv["kernel"], np.float32)
+    conv["kernel"] = kern * _bcast(a, kern.ndim)
     bias = np.asarray(conv.get("bias", np.zeros_like(b)), np.float32)
     conv["bias"] = bias * a + b
 
@@ -63,13 +74,17 @@ def fold_agcn_bn_eval(variables: Mapping[str, Any]) -> Dict[str, Any]:
 
     for block in [k for k in params if k.startswith("l")]:
         bp, bs = params[block], stats[block]
+        if "block" in bp:  # scan_blocks group (e.g. 'l2_4'): the per-
+            bp, bs = bp["block"], bs["block"]  # block params carry a
+            # leading stacked axis; _bcast handles the broadcast
         g, gs = bp["gcn1"], bs["gcn1"]
         a, b = _affine(g["bn"], gs["bn"])
         ks = sorted(k for k in g if k.startswith("conv_d")
                     and k.endswith("_kernel"))
         for i, kk in enumerate(ks):
             bias_name = kk.replace("_kernel", "_bias")
-            g[kk] = np.asarray(g[kk], np.float32) * a
+            kern = np.asarray(g[kk], np.float32)
+            g[kk] = kern * _bcast(a, kern.ndim)
             g[bias_name] = np.asarray(g[bias_name], np.float32) * a
             if i == 0:  # the BN shift lands once in the summed bias
                 g[bias_name] = g[bias_name] + b
@@ -108,7 +123,8 @@ def fold_aagcn_bn_eval(variables: Mapping[str, Any]) -> Dict[str, Any]:
                     and k.endswith("_kernel"))
         for i, kk in enumerate(ks):
             bias_name = kk.replace("_kernel", "_bias")
-            ag[kk] = np.asarray(ag[kk], np.float32) * a
+            kern = np.asarray(ag[kk], np.float32)
+            ag[kk] = kern * _bcast(a, kern.ndim)
             ag[bias_name] = np.asarray(ag[bias_name], np.float32) * a
             if i == 0:  # the BN shift lands once in the summed bias
                 ag[bias_name] = ag[bias_name] + b

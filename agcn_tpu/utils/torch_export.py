@@ -362,7 +362,8 @@ def sgn_state_dict_from_variables(variables: Mapping[str, Any],
         out["semantic_embedding.cls_onehot.onehot"] = _onehot_buffer(
             _embed_in_dim(params["class_embed"]), 1, mode=2)
 
-    def export_gcn_stack(flax_name: str, torch_name: str) -> None:
+    def export_gcn_stack(flax_name: str, torch_name: str,
+                         num_point: int = 25) -> None:
         sg, sgs = params.get(flax_name, {}), stats.get(flax_name, {})
         i = 1
         while f"g{i}" in sg:  # G-attention builders (first stack only)
@@ -375,7 +376,7 @@ def sgn_state_dict_from_variables(variables: Mapping[str, Any],
             if "g3" in g and "kernel" in g["g3"]:
                 # GT2: per-frame scalar Linear over (c*v) features
                 out[f"{gp}.g3.weight"] = np.ascontiguousarray(
-                    _vc_to_cv(_np(g["g3"]["kernel"])).T)
+                    _vc_to_cv(_np(g["g3"]["kernel"]), num_point).T)
                 if "bias" in g["g3"]:
                     out[f"{gp}.g3.bias"] = _np(g["g3"]["bias"])
             if "tem_embedding" in g:
@@ -407,10 +408,11 @@ def sgn_state_dict_from_variables(variables: Mapping[str, Any],
                             kk, one, cin_all, outd = kern.shape
                             flat = kern.reshape(kk * one, cin_all, outd)
                             kern = np.stack(
-                                [_vc_to_cv(c) for c in flat]).reshape(
+                                [_vc_to_cv(c, num_point)
+                                 for c in flat]).reshape(
                                     kk, one, cin_all, outd)
                         else:
-                            kern = _vc_to_cv(kern)
+                            kern = _vc_to_cv(kern, num_point)
                     pref = f"{gp}.g3.cnn{li}"
                     out[f"{pref}.block.conv.conv.weight"] = \
                         _torch_conv_weight(kern)
@@ -471,8 +473,8 @@ def sgn_state_dict_from_variables(variables: Mapping[str, Any],
                                 sg[f"res{i}"])
             i += 1
 
-    export_gcn_stack("sgcn", "sgcn")
-    export_gcn_stack("sgcn2", "sgcn2")
+    export_gcn_stack("sgcn", "sgcn", num_point)
+    export_gcn_stack("sgcn2", "sgcn2", num_point)
 
     for name in params:  # temporal MLP branches
         m = re.match(r"^tem(\d+)_(\d+)_k(\d+)$", name)
@@ -625,16 +627,15 @@ def main(argv=None):
     ckpt = load_checkpoint(args.checkpoint)
     variables = {"params": ckpt["params"],
                  "batch_stats": ckpt.get("batch_stats", {})}
+    import functools
+
     export = {"agcn": agcn_state_dict_from_variables,
               "aagcn": aagcn_state_dict_from_variables,
               "sgn_original": sgn_original_state_dict_from_variables,
-              "sgn": sgn_state_dict_from_variables,
+              "sgn": functools.partial(sgn_state_dict_from_variables,
+                                       linear_ffn=args.linear_ffn),
               "sgn_transformer": sgn_transformer_state_dict_from_variables}
-    if args.model == "sgn":
-        sd = sgn_state_dict_from_variables(variables,
-                                           linear_ffn=args.linear_ffn)
-    else:
-        sd = export[args.model](variables)
+    sd = export[args.model](variables)
     torch.save({k: torch.from_numpy(np.ascontiguousarray(v))
                 for k, v in sd.items()}, args.out)
     print(f"wrote {args.out} ({len(sd)} tensors)")

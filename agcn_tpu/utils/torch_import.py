@@ -218,7 +218,13 @@ def sgn_variables_from_torch(sd: Mapping[str, Any]) -> Dict[str, Dict]:
     embedding("semantic_embedding.cls_embedding", "class_embed")
 
     # spatial GCN block -------------------------------------------------
-    def cv_to_vc(w, num_point=25):
+    # the (c, v) reorder needs the joint count; derive it from the
+    # semantic joint embedding's one-hot input dim when present (its
+    # in-channels == num_point), else NTU's 25
+    _np_key = "semantic_embedding.spa_embedding.cnn1.block.conv.conv.weight"
+    num_point = sd[_np_key].shape[1] if _np_key in sd else 25
+
+    def cv_to_vc(w, num_point=num_point):
         """Reorder a kernel whose input features are (c, v)-flattened to
         our (v, c) order. w: (in=c*v, out) dense kernel."""
         cin = w.shape[0] // num_point

@@ -221,6 +221,14 @@ def _serve(args, model, variables, kind, num_joint, multi_test, cfg,
                     scan_new()
                 fill_slots()
             if not streams:
+                # no live streams can answer an in-flight pipelined
+                # tick anymore — drain it NOW, not at loop exit (with
+                # --follow the loop may idle-poll indefinitely and the
+                # final predictions would otherwise never be emitted)
+                if args.pipeline:
+                    tail = server.flush()
+                    if tail is not None:
+                        emit(tail, pending_step)
                 if not args.follow and not backlog:
                     break  # all recordings served
                 if args.follow:

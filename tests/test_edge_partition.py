@@ -55,3 +55,31 @@ def test_hybrid_partitioned_gcn_matches_dense(p):
     out = fn(x, parts, w)
     ref = sum(aggregate(x, jnp.asarray(adj[k])) @ w[k] for k in range(3))
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+
+def test_hlo_stats_moves_data_edge_cases():
+    """Degenerate-collective detection (parallel/hlo_stats.py): only
+    all-singleton groups and empty/self-only permutes are excluded; a
+    heterogeneous group set with ANY multi-member group counts."""
+    from agcn_tpu.parallel.hlo_stats import _moves_data, collective_bytes
+
+    assert not _moves_data("x = f32[8]{0} all-reduce(y), "
+                           "replica_groups={{0},{1}}")
+    assert _moves_data("x = f32[8]{0} all-reduce(y), "
+                       "replica_groups={{0},{1,2,3}}")
+    assert _moves_data("x = f32[8]{0} all-gather(y), "
+                       "replica_groups=[2,4]<=[8]")
+    assert not _moves_data("x = f32[8]{0} all-gather(y), "
+                           "replica_groups=[8,1]<=[8]")
+    assert not _moves_data("x = f32[8]{0} collective-permute(y), "
+                           "source_target_pairs={}")
+    assert not _moves_data("x = f32[8]{0} collective-permute(y), "
+                           "source_target_pairs={{0,0},{1,1}}")
+    assert _moves_data("x = f32[8]{0} collective-permute(y), "
+                       "source_target_pairs={{0,1},{1,0}}")
+
+    hlo = ("  %r = f32[4,8]{1,0} all-reduce(%a), replica_groups={{0,1}}\n"
+           "  %d = f32[4,8]{1,0} all-reduce(%b), replica_groups={{0},{1}}\n")
+    stats = collective_bytes(hlo)
+    assert stats["all-reduce"] == 4 * 8 * 4  # only the real one
+    assert stats["n_collectives"] == 1

@@ -227,3 +227,44 @@ def test_serve_mode_live_arrival_and_slot_reuse(tmp_path, capsys):
         assert f"++ stream [{cam}]" in out
         assert f"[{cam}] frame" in out  # every stream got predictions
     assert "-- stream [cam0] ended" in out
+
+
+def test_serve_pipeline_cli_flushes_final_tick(tmp_path, capsys):
+    """--serve --pipeline: the final in-flight tick is drained when the
+    streams end (NOT at loop exit — with --follow the loop keeps
+    polling), so every stream's last prediction is emitted."""
+    import numpy as np
+    import yaml
+
+    import infer as infer_cli
+    from agcn_tpu.graph import build_adjacency
+    from agcn_tpu.models import AGCN
+    from agcn_tpu.train.checkpoint import save_checkpoint
+
+    adj = build_adjacency("ntu_rgb_d")
+    model = AGCN(num_class=4, adj=adj)
+    x = np.zeros((1, 3, 16, 25, 2), np.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x),
+                           train=False)
+    ckpt = tmp_path / "epoch_1.npz"
+    save_checkpoint(str(ckpt), {"params": variables["params"],
+                                "batch_stats": variables["batch_stats"]})
+    cfg = tmp_path / "cfg.yaml"
+    cfg.write_text(yaml.safe_dump(dict(
+        model="agcn", model_args=dict(num_class=4, graph="ntu_rgb_d"))))
+    d = tmp_path / "streams"
+    d.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(2):
+        np.save(d / f"cam{i}.npy",
+                rng.standard_normal((1, 3, 12, 25, 2)).astype(np.float32))
+    # --follow + --max-idle: the loop idles after the recordings end, so
+    # the drain must happen at stream end, not at loop exit
+    infer_cli.main(["--config", str(cfg), "--weights", str(ckpt),
+                    "--input", str(d), "--serve", "3", "--interval", "6",
+                    "--max-frame", "16", "--pipeline", "--follow",
+                    "--max-idle", "1"])
+    out = capsys.readouterr().out
+    # both ticks' answers arrive despite the one-tick pipeline lag
+    assert "[cam0] frame 6" in out and "[cam1] frame 6" in out
+    assert "[cam0] frame 12" in out and "[cam1] frame 12" in out

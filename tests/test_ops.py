@@ -194,3 +194,34 @@ def test_aagcn_bn_fold_eval_exact():
     got, _ = fold_model.apply(folded, x, train=False)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_agcn_bn_fold_scan_blocks():
+    """BN folding handles scan_blocks checkpoints: scanned groups nest
+    under 'block' with a leading stacked axis on every leaf."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from agcn_tpu.graph import build_adjacency
+    from agcn_tpu.models import AGCN
+    from agcn_tpu.utils.bn_fold import fold_agcn_bn_eval
+
+    adj = build_adjacency("ntu_rgb_d")
+    model = AGCN(num_class=5, adj=adj, scan_blocks=True)
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((2, 3, 16, 25, 2)), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    _, upd = model.apply(variables, x, train=True,
+                         mutable=["batch_stats"],
+                         rngs={"dropout": jax.random.PRNGKey(1)})
+    variables = {"params": variables["params"],
+                 "batch_stats": upd["batch_stats"]}
+    want = model.apply(variables, x, train=False)
+    want = np.asarray(want[0] if isinstance(want, tuple) else want)
+
+    folded = fold_agcn_bn_eval(variables)
+    fold_model = AGCN(num_class=5, adj=adj, scan_blocks=True, fold_bn=True)
+    got = fold_model.apply(folded, x, train=False)
+    got = np.asarray(got[0] if isinstance(got, tuple) else got)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)

@@ -211,3 +211,19 @@ def test_pipelined_matches_sync(agcn_model):
             assert g[sid][0] == w[sid][0]
             np.testing.assert_allclose(g[sid][1], w[sid][1],
                                        atol=1e-5, rtol=1e-5)
+
+
+def test_predict_rejects_inflight_pipeline(agcn_model):
+    """Mixing predict() with an in-flight predict_async() tick would
+    misorder answers — it must refuse until flush()."""
+    model, variables = agcn_model
+    server = BatchedStreamServer(model, variables, max_streams=2,
+                                 kind="dense", max_seq_length=32)
+    server.add_stream()
+    for f in _frames(0):
+        server.append_frame(0, f)
+    server.predict_async()  # dispatches tick 1
+    with pytest.raises(RuntimeError, match="flush"):
+        server.predict()
+    assert server.flush() is not None
+    server.predict()  # clean again after the drain

@@ -298,3 +298,46 @@ def test_sgn_transformer_export_roundtrip_and_strict_load(which):
         ref_logits = ref(torch.from_numpy(x_np))[0].numpy()
     ours, _ = model.apply(variables, x, train=False)
     np.testing.assert_allclose(np.asarray(ours), ref_logits, atol=1e-3)
+
+
+@pytest.mark.skipif(not reference_available(), reason="reference not mounted")
+def test_sgn_export_roundtrip_kinetics_geometry():
+    """num_point=18 (Kinetics-18 geometry) with a GT mode that exercises
+    the (c, v) kernel reorder: both the import's cv_to_vc and the
+    export's inverse must derive V from the checkpoint, not assume 25
+    (regression: hardcoded num_point corrupted V!=25 g3 kernels)."""
+    from agcn_tpu.utils.torch_export import sgn_state_dict_from_variables
+    from agcn_tpu.utils.torch_import import (sgn_variables_from_torch,
+                                             state_dict_to_numpy)
+
+    from .test_sgn import _torch_sgn
+
+    import torch
+
+    from .test_sgn import V14_KWARGS, _ours_from
+
+    ref = _torch_sgn(num_point=18, sgcn_gt_mode=3)
+    sd = state_dict_to_numpy(ref.state_dict())
+    variables = sgn_variables_from_torch(sd)
+    back = sgn_state_dict_from_variables(variables)
+    assert set(back) == set(sd), (
+        f"missing={sorted(set(sd) - set(back))[:8]} "
+        f"extra={sorted(set(back) - set(sd))[:8]}")
+    for k in sd:
+        if k.endswith("num_batches_tracked"):
+            continue
+        np.testing.assert_array_equal(
+            back[k], np.asarray(sd[k], np.float32), err_msg=k)
+
+    # the round trip alone can't catch a consistent-but-wrong reorder
+    # pair — logits parity through the transplant pins the convention
+    kwargs = {**V14_KWARGS, "num_point": 18, "sgcn_gt_mode": 3}
+    ref.eval()
+    x_np = np.random.default_rng(0).standard_normal(
+        (4, 20, 54)).astype(np.float32)
+    with torch.no_grad():
+        ref_logits = ref(torch.from_numpy(x_np))[0].numpy()
+    ours, _ = _ours_from(kwargs).apply(variables, jnp.asarray(x_np),
+                                       train=False)
+    np.testing.assert_allclose(np.asarray(ours), ref_logits,
+                               atol=3e-4, rtol=3e-4)

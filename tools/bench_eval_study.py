@@ -13,27 +13,16 @@ calibrated chip peak.
 
 import os
 import statistics
-import subprocess
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from tools._common import setup_backend
+
+setup_backend()
+
 import jax
-
-try:
-    _r = subprocess.run(
-        [sys.executable, "-c", "import jax; jax.devices()"],
-        timeout=300, capture_output=True)
-    if _r.returncode != 0:
-        raise RuntimeError
-except Exception:
-    print("# TPU backend unavailable; falling back to CPU", flush=True)
-    jax.config.update("jax_platforms", "cpu")
-
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.expanduser("~/.cache/jax_comp_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import jax.numpy as jnp
 import numpy as np
@@ -107,7 +96,7 @@ def forms_sweep(batch: int = 256, steps: int = 10):
     adj = build_adjacency("ntu_rgb_d")
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal((batch, C, T, V, M)), jnp.float32)
-    base = None
+    base = base_form = None
     for form in ("pf", "pf_packed", "agg", "agg_packed", "agg_packed2",
                  "custom", "fused_dyn", "hybrid"):
         model = AGCN(num_class=NUM_CLASS, adj=adj, dtype=jnp.bfloat16,
@@ -121,9 +110,9 @@ def forms_sweep(batch: int = 256, steps: int = 10):
                   f"{str(e).splitlines()[0][:100]}", flush=True)
             continue
         if base is None:
-            base = med
+            base, base_form = med, form  # first SUCCEEDING form
         print(f"  eval form {form:12s} {med:8.1f} seq/s ±{sp:4.1f}%  "
-              f"(vs pf {med / base - 1:+.1%})", flush=True)
+              f"(vs {base_form} {med / base - 1:+.1%})", flush=True)
 
 
 if __name__ == "__main__":

@@ -12,27 +12,16 @@ is above noise.
 
 import os
 import statistics
-import subprocess
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from tools._common import setup_backend
+
+setup_backend()
+
 import jax
-
-try:
-    _r = subprocess.run(
-        [sys.executable, "-c", "import jax; jax.devices()"],
-        timeout=300, capture_output=True)
-    if _r.returncode != 0:
-        raise RuntimeError
-except Exception:
-    print("# TPU backend unavailable; falling back to CPU", flush=True)
-    jax.config.update("jax_platforms", "cpu")
-
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.expanduser("~/.cache/jax_comp_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import jax.numpy as jnp
 import numpy as np

@@ -15,25 +15,11 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import subprocess
-
 import jax
 
-# the axon tunnel can hang indefinitely at backend init; probe it in a
-# subprocess and fall back to CPU (same pattern as bench.py)
-try:
-    _r = subprocess.run(
-        [sys.executable, "-c", "import jax; jax.devices()"],
-        timeout=300, capture_output=True)
-    if _r.returncode != 0:
-        raise RuntimeError
-except Exception:
-    print("# TPU backend unavailable; falling back to CPU", flush=True)
-    jax.config.update("jax_platforms", "cpu")
+from tools._common import setup_backend
 
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.expanduser("~/.cache/jax_comp_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+setup_backend()
 
 import numpy as np
 
@@ -51,7 +37,8 @@ def _fill(append, seed, n=T):
         append(rng.standard_normal((1, 1, 25, 3)).astype(np.float32) * 0.2)
 
 
-def bench(n_streams: int, ticks: int = 40, repeats: int = 5):
+def bench(n_streams: int, ticks: int = 40, repeats: int = 5,
+          normalize: bool = False):
     """One row of the round-5 A/B: sequential (reference-style, one
     forward per stream) vs batched sync vs batched pipelined, plus the
     host-prep / device-forward split. All rates are medians over
@@ -62,7 +49,7 @@ def bench(n_streams: int, ticks: int = 40, repeats: int = 5):
     model = AGCN(num_class=60, adj=adj)
     x0 = np.zeros((1, 3, T, 25, 2), np.float32)
     variables = model.init(jax.random.PRNGKey(0), x0, train=False)
-    kwargs = dict(kind="dense", max_seq_length=T, normalize=False)
+    kwargs = dict(kind="dense", max_seq_length=T, normalize=normalize)
 
     server = BatchedStreamServer(model, variables,
                                  max_streams=n_streams, **kwargs)
@@ -134,7 +121,8 @@ def bench(n_streams: int, ticks: int = 40, repeats: int = 5):
                 s.predict()
 
     sequential, sp_s = median_rate(w_seq, n_streams * seq_ticks)
-    print(f"streams={n_streams:4d}  sequential {sequential:8.1f} "
+    tag = " (normalize)" if normalize else ""
+    print(f"streams={n_streams:4d}{tag}  sequential {sequential:8.1f} "
           f"preds/s ±{sp_s:4.1f}%  batched {batched:8.1f} ±{sp_b:4.1f}%  "
           f"pipelined {pipelined:8.1f} ±{sp_p:4.1f}%  "
           f"[tick split: host prep {prep_ms:.1f} ms | h2d "
@@ -146,5 +134,7 @@ def bench(n_streams: int, ticks: int = 40, repeats: int = 5):
 
 
 if __name__ == "__main__":
-    for n in [int(a) for a in sys.argv[1:]] or (4, 16, 64):
-        bench(n)
+    norm = "--normalize" in sys.argv[1:]
+    rest = [a for a in sys.argv[1:] if a != "--normalize"]
+    for n in [int(a) for a in rest] or (4, 16, 64):
+        bench(n, normalize=norm)
