@@ -91,6 +91,7 @@ class AdaptiveGCN(nn.Module):
     formulation: str = "agg_packed"  # ops/gcn.apply_gcn
     attn_form: str = "transposed"    # ops/gcn.attention_logits
     edge_mesh: Any = None  # Mesh with 'edge' axis: in-model edge partition
+    eval_formulation: Optional[str] = None  # override the eval-mode form
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -152,9 +153,12 @@ class AdaptiveGCN(nn.Module):
 
             return model_edge_gcn(compute, a1, w_stack,
                                   self.edge_mesh) + out_b
-        # training: 'agg' fuses best in the full step; inference:
-        # project-first forward is 2.6x faster (ops/gcn.apply_gcn)
-        form = self.formulation if train else "pf"
+        # training: 'agg' fuses best in the full step; inference: 'agg'
+        # also wins on the current toolchain (+5% over the round-2 'pf'
+        # pick at batch 64 AND 256 — round-5 eval-forms sweep on the
+        # shared kernel, tools/bench_eval_study.py --forms)
+        form = self.formulation if train else \
+            (self.eval_formulation or "agg")
         return gcn_ops.apply_gcn(compute, a1, w_stack, form) + out_b
 
 
@@ -209,6 +213,7 @@ class GCNUnit(nn.Module):
     attn_form: str = "transposed"    # ops/gcn.attention_logits
     edge_mesh: Any = None
     fold_bn: bool = False  # BNs skipped at eval (folded variables only)
+    eval_formulation: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
@@ -220,6 +225,7 @@ class GCNUnit(nn.Module):
                         dtype=self.dtype, formulation=self.formulation,
                         attn_form=self.attn_form,
                         edge_mesh=self.edge_mesh,
+                        eval_formulation=self.eval_formulation,
                         name="agcn")(x, train)
         else:
             y = gcn_cls(self.out_channels, inter_c, self.adj,
@@ -286,6 +292,7 @@ class TCNGCNUnit(nn.Module):
     attn_form: str = "transposed"    # ops/gcn.attention_logits
     edge_mesh: Any = None
     fold_bn: bool = False
+    eval_formulation: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
@@ -297,6 +304,7 @@ class TCNGCNUnit(nn.Module):
                     attn_form=self.attn_form,
                     edge_mesh=self.edge_mesh,
                     fold_bn=self.fold_bn,
+                    eval_formulation=self.eval_formulation,
                     name="gcn1")(x, train)
         y = TCNUnit(self.out_channels, kernel_size=self.kernel_size,
                     stride=self.stride, pad=self.pad,
@@ -397,6 +405,9 @@ class AAGCN(nn.Module):
     # eval-only: use with utils/bn_fold.fold_aagcn_bn_eval'd variables —
     # every unit BN (not data_bn) is skipped in the compiled program
     fold_bn: bool = False
+    # eval-only GCN formulation override (default 'agg', the round-5
+    # sweep winner on the shared kernel)
+    eval_formulation: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False):
@@ -437,6 +448,7 @@ class AAGCN(nn.Module):
                            edge_mesh=self.edge_mesh,
                            sync_axis=self.sync_axis, dtype=self.dtype,
                            fold_bn=self.fold_bn,
+                           eval_formulation=self.eval_formulation,
                            name=name)(x, train)
             last_c = ch
 
