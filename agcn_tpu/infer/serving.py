@@ -126,6 +126,46 @@ class BatchedStreamServer:
                                 rng=self._rngs[sid])
         return pp.dense_input(self.num_skels, normalize=self.normalize)
 
+    def _prepare_dense_batched(self, sids):
+        """Vectorized dense prep: ONE pass over all streams.
+
+        The per-stream path spends ~1.2 ms/stream in 4x(sum+3xstd)
+        small-array numpy calls per body (energy selection) that the
+        thread pool cannot parallelize (call overhead, GIL); stacking
+        the ring buffers and doing masked-moment energy + top-k
+        selection + layout (+ batched pre_normalization) as whole-batch
+        ops is ~10x cheaper at 64 streams. Energies use fp64
+        accumulators — ordering agrees with the per-stream fp32 std
+        except for exact ties, where either body is equally valid.
+        """
+        pps = [self._streams[sid] for sid in sids]
+        data = np.stack([pp.data for pp in pps])  # (S, M, T, V, C)
+        v = data.shape[3]
+        mask = (data.sum((-1, -2)) != 0)  # (S, M, T) valid frames
+        w = mask[..., None, None]
+        # f32 pairwise sums (numpy's default reduction tree over the
+        # ~1600-element T*V windows), moments finished in f64 — a pure
+        # f64 accumulation pass costs ~4x here for no ordering benefit
+        cnt = mask.sum(-1)[..., None].astype(np.float64) * v  # (S, M, 1)
+        dm = data * w
+        s1 = dm.sum((2, 3)).astype(np.float64)   # (S, M, C)
+        s2 = (dm * data).sum((2, 3)).astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            mean = s1 / cnt
+            var = s2 / cnt - np.square(mean)
+        std = np.sqrt(np.maximum(var, 0.0))
+        energy = np.where(cnt[..., 0] > 0, std.sum(-1), 0.0)  # (S, M)
+        order = np.argsort(energy, axis=1)[:, ::-1][:, :self.num_skels]
+        sel = data[np.arange(len(sids))[:, None], order]  # (S, M', T, V, C)
+        rows = np.ascontiguousarray(
+            np.transpose(sel, (0, 4, 2, 3, 1)))  # (S, C, T, V, M')
+        if self.normalize:
+            from agcn_tpu.data.gen.preprocess import pre_normalization
+
+            rows = pre_normalization(rows, zaxis=pps[0].zaxis,
+                                     xaxis=pps[0].xaxis)
+        return rows.astype(np.float32)
+
     def _prepare(self):
         """Host phase: per-stream preprocessing + static-shape padding.
         Returns (sids, per, device_input) or None when no streams."""
@@ -133,6 +173,21 @@ class BatchedStreamServer:
         sids = sorted(self._streams)
         if not sids:
             return None
+        if self.kind == "dense" and len(sids) > 4:
+            rows = self._prepare_dense_batched(sids)
+            per = 1
+            shape = (self.max_streams,) + rows.shape[1:]
+            self._xbuf_i ^= 1
+            if self._xbufs[self._xbuf_i] is None or \
+                    self._xbufs[self._xbuf_i].shape != shape:
+                self._xbufs[self._xbuf_i] = np.zeros(shape, rows.dtype)
+            x = self._xbufs[self._xbuf_i]
+            x[:len(sids)] = rows
+            t1 = time.perf_counter()
+            xd = jnp.asarray(x)
+            self.last_h2d_ms = (time.perf_counter() - t1) * 1e3
+            self.last_prep_ms = (time.perf_counter() - t0) * 1e3
+            return sids, per, xd
         # row 0 serially: it fixes the per-stream row shape so the
         # batch buffer can be preallocated ONCE and every worker writes
         # its slice in place (per-stream tasks + a 64-array concatenate

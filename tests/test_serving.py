@@ -127,9 +127,11 @@ def test_sgn_batched_matches_single_stream():
     np.testing.assert_allclose(probs_b, probs_s, atol=1e-5, rtol=1e-5)
 
 
-def test_threaded_preprocessing_matches(agcn_model):
-    """>4 live streams route host preprocessing through the thread pool
-    — answers must be identical to the sequential path."""
+def test_batched_vectorized_preprocessing_matches(agcn_model):
+    """>4 live dense streams route host preprocessing through the
+    whole-batch vectorized path (_prepare_dense_batched: stacked ring
+    buffers, masked-moment energy selection) — answers must be
+    identical to the per-stream single-recognizer path."""
     model, variables = agcn_model
     kwargs = dict(kind="dense", max_seq_length=32)
     server = BatchedStreamServer(model, variables, max_streams=6, **kwargs)
@@ -142,9 +144,39 @@ def test_threaded_preprocessing_matches(agcn_model):
             single.append_frame(f)
         singles[sid] = single
     batched = server.predict()
-    assert server._pool is not None  # the threaded path actually ran
     for sid, single in singles.items():
         _, probs_s = single.predict()
+        np.testing.assert_allclose(batched[sid][1], probs_s,
+                                   atol=1e-5, rtol=1e-5)
+
+
+def test_batched_vectorized_energy_selection(agcn_model):
+    """The vectorized energy selection picks the SAME top-k bodies as
+    the reference's per-body nonzero_std: feed one stream whose
+    max_person slots carry distinguishable energies with empty slots in
+    between."""
+    model, variables = agcn_model
+    server = BatchedStreamServer(model, variables, max_streams=6,
+                                 kind="dense", max_seq_length=32,
+                                 max_person=4)
+    singles = ActionRecognition(model, variables, kind="dense",
+                                max_seq_length=32, max_person=4)
+    rng = np.random.default_rng(9)
+    for sid in range(6):
+        server.add_stream()
+    for t in range(32):
+        # body 0 quiet, body 1 empty, body 2 loud, body 3 medium
+        f = np.zeros((4, 1, 25, 3), np.float32)
+        f[0] = rng.standard_normal((1, 25, 3)) * 0.01
+        f[2] = rng.standard_normal((1, 25, 3)) * 1.0
+        f[3] = rng.standard_normal((1, 25, 3)) * 0.1
+        for sid in range(6):
+            server.append_frame(sid, f)
+        singles.append_frame(f)
+    batched = server.predict()
+    label_s, probs_s = singles.predict()
+    for sid in range(6):
+        assert batched[sid][0] == label_s
         np.testing.assert_allclose(batched[sid][1], probs_s,
                                    atol=1e-5, rtol=1e-5)
 
