@@ -273,7 +273,7 @@ def bench_infer(steps: int = 10, repeats: int = 5, batch: int = 256):
     return _median_rate(window, batch * steps, repeats)
 
 
-def bench_serving(n_streams: int = 16, ticks: int = 50, repeats: int = 5,
+def bench_serving(n_streams: int = 16, ticks: int = 120, repeats: int = 5,
                   pipeline: bool = True, normalize: bool = False):
     """Serving-engine tick rate: N live streams answered by ONE batched
     fixed-shape forward per tick (infer/serving.py), end-to-end with
