@@ -192,13 +192,15 @@ def bench_kinetics(steps: int = 15, repeats: int = 5):
     return _median_rate(window, BATCH * steps, repeats)
 
 
-def bench_sgn(steps: int = 200, repeats: int = 5,
+def bench_sgn(steps: int = 800, repeats: int = 5,
               steps_per_call: int = 1):
     """SGN (v14 defaults, seg=20) train step with Adam, batch 64.
 
-    steps=200 per window: at ~3.4 ms/step a 30-step window is tunnel-
+    steps=800 per window: at ~3.4 ms/step short windows are tunnel-
     jitter-dominated (the BENCH_r03 15k-vs-19k discrepancy, VERDICT r3
-    weak #2); ~0.7 s windows + median settle it.
+    weak #2; 200-step windows still spread 9-17% in round 5). ~2.7 s
+    windows + median settle it — the round-5 scan-K grid at this window
+    length measured spreads <=0.6% (tools/bench_scan_k.py, PERF.md).
 
     steps_per_call > 1 measures the product's scanned multi-step path
     (Trainer `steps_per_call`, steps.make_multi_train_step): K optimizer
